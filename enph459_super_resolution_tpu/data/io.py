@@ -1,0 +1,46 @@
+"""Host-side image IO and channel extraction.
+
+PNG decode/encode stays on host (PIL, or the native C++ loader in
+``native/`` when built); normalization / channel extraction / stacking runs
+on device.  Reference behaviors: ``load_gray`` (RGB-mean to gray,
+``mono_barcodes/run_sr.py:84-86``) and RGGB red-plane extraction
+(``rgb_barcodes/run_sr.py:97-99``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def load_image(path: str, dtype=np.float32) -> np.ndarray:
+    """Decode an image file to a float array, preserving channels."""
+    from ..native import png_loader  # optional C++ fast path
+
+    arr = png_loader.load(path)
+    if arr is None:
+        arr = np.asarray(Image.open(path))
+    return arr.astype(dtype)
+
+
+def load_gray(path: str, dtype=np.float32) -> np.ndarray:
+    """Float grayscale: RGB images are channel-averaged (reference parity)."""
+    img = load_image(path, dtype=np.float64)
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    return img.astype(dtype)
+
+
+def extract_red(img: np.ndarray, row_offset: int = 0, col_offset: int = 0):
+    """Red plane of an RGGB Bayer mosaic: even rows / even cols by default."""
+    return img[..., row_offset::2, col_offset::2]
+
+
+def save_png(img: np.ndarray, path: str) -> None:
+    """Save a uint8 (or clip-truncated float, reference parity) image."""
+    if img.dtype != np.uint8:
+        img = np.clip(img, 0, 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(img).save(path)

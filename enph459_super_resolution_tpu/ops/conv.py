@@ -1,77 +1,81 @@
 """Convolution primitives on images shaped ``(..., H, W)``.
 
 Replaces the reference's `scipy.signal.fftconvolve` / `scipy.ndimage`
-filtering (SURVEY.md §2.9) with direct `lax.conv_general_dilated` calls: a
-7×7 PSF is far below the FFT crossover, and direct convs let XLA fuse the
-surrounding elementwise work and drive the MXU/VPU directly.
+filtering (SURVEY.md §2.9).  Design note: single-channel image convolutions
+are a *degenerate* case for `lax.conv_general_dilated` on TPU (a trailing
+feature dim of 1 gets lane-padded to 128 — measured 128x memory blowup), so
+small kernels are instead unrolled at trace time into weighted sums of
+strided slices.  Each tap is a VPU elementwise multiply-add over a shifted
+view; XLA fuses the whole tap sum into one bandwidth-bound kernel with zero
+layout padding, which is exactly how a TPU wants to see a 7x7 or 1x41
+filter.  Kernel values are baked in as scalar constants (they are static:
+PSFs and spline-phase kernels are fixed at trace time).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _flatten_batch(x):
-    """(..., H, W) -> (N, 1, H, W) plus a restore function."""
-    lead = x.shape[:-2]
-    h, w = x.shape[-2:]
-    n = int(np.prod(lead)) if lead else 1
-    xr = x.reshape((n, 1, h, w))
-    def restore(y):
-        return y.reshape(lead + y.shape[-2:])
-    return xr, restore
+def _kernel_scalars(kernel) -> np.ndarray:
+    """Static host-side kernel values (must not be a traced array)."""
+    k = np.asarray(kernel, dtype=np.float64)
+    return k
 
 
 def correlate1d(x, kernel, axis: int, stride: int = 1):
-    """VALID 1-D correlation along ``axis`` of an (..., H, W) array.
+    """VALID 1-D correlation along ``axis``: ``out[i] = sum_j k[j] x[i*s+j]``.
 
-    ``out[i] = sum_j kernel[j] * x[i*stride + j]`` along the chosen axis.
+    Unrolled tap sum over strided slices; ``kernel`` must be static
+    (numpy).  Taps with zero weight are skipped.
     """
     axis = axis % x.ndim
-    if axis not in (x.ndim - 2, x.ndim - 1):
-        raise ValueError("correlate1d only supports the trailing two axes")
-    kernel = jnp.asarray(kernel, dtype=x.dtype)
-    length = kernel.shape[0]
-    xr, restore = _flatten_batch(x)
-    if axis == x.ndim - 2:
-        rhs = kernel.reshape((1, 1, length, 1))
-        strides = (stride, 1)
-    else:
-        rhs = kernel.reshape((1, 1, 1, length))
-        strides = (1, stride)
-    out = jax.lax.conv_general_dilated(
-        xr, rhs, window_strides=strides, padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return restore(out)
+    k = _kernel_scalars(kernel)
+    length = k.shape[0]
+    out_len = (x.shape[axis] - length) // stride + 1
+    acc = None
+    for j in range(length):
+        kj = float(k[j])
+        if kj == 0.0:
+            continue
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(j, j + (out_len - 1) * stride + 1, stride)
+        term = kj * x[tuple(sl)]
+        acc = term if acc is None else acc + term
+    if acc is None:  # all-zero kernel
+        shape = list(x.shape)
+        shape[axis] = out_len
+        acc = jnp.zeros(shape, dtype=x.dtype)
+    return acc
 
 
-def correlate2d_same(x, kernel, lhs_dilation=(1, 1), strides=(1, 1)):
-    """SAME 2-D correlation of (..., H, W) with a 2-D ``kernel``.
-
-    ``lhs_dilation`` inserts zeros between input pixels (transposed-conv /
-    zero-stuffing, used by IBP back-projection), so the reference's
-    "zero-stuff then convolve" (``mono_barcodes/run_sr.py:199-209``) becomes
-    a single dilated convolution.
-    """
-    kernel = jnp.asarray(kernel, dtype=x.dtype)
-    kh, kw = kernel.shape
-    xr, restore = _flatten_batch(x)
-    out = jax.lax.conv_general_dilated(
-        xr, kernel.reshape((1, 1, kh, kw)),
-        window_strides=strides,
-        padding=((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)),
-        lhs_dilation=lhs_dilation,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return restore(out)
+def correlate2d_same(x, kernel, strides=(1, 1)):
+    """SAME (zero-padded) 2-D correlation of (..., H, W) with a static 2-D
+    ``kernel``, unrolled into a fused tap sum."""
+    k = _kernel_scalars(kernel)
+    kh, kw = k.shape
+    pad = [(0, 0)] * (x.ndim - 2) + [(kh // 2, (kh - 1) // 2),
+                                     (kw // 2, (kw - 1) // 2)]
+    xp = jnp.pad(x, pad)
+    h, w = x.shape[-2], x.shape[-1]
+    sy, sx = strides
+    oh = (h - 1) // sy + 1
+    ow = (w - 1) // sx + 1
+    acc = None
+    for dy in range(kh):
+        for dx in range(kw):
+            kv = float(k[dy, dx])
+            if kv == 0.0:
+                continue
+            term = kv * xp[..., dy:dy + (oh - 1) * sy + 1:sy,
+                           dx:dx + (ow - 1) * sx + 1:sx]
+            acc = term if acc is None else acc + term
+    if acc is None:
+        acc = jnp.zeros(x.shape[:-2] + (oh, ow), dtype=x.dtype)
+    return acc
 
 
 def conv2d_same(x, kernel):
@@ -82,7 +86,7 @@ def conv2d_same(x, kernel):
     direct evaluation; a 7×7 kernel is ~50 MACs/pixel, far below the FFT
     crossover, and avoids fftconvolve's rounding noise.
     """
-    kernel = jnp.asarray(kernel, dtype=x.dtype)
+    kernel = _kernel_scalars(kernel)
     return correlate2d_same(x, kernel[::-1, ::-1])
 
 
@@ -140,6 +144,5 @@ def laplacian(x):
     Focus metric building block (reference
     ``calibration_autofocus/calibrate_autofocus.py:36``).
     """
-    k = jnp.asarray([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]],
-                    dtype=x.dtype)
+    k = np.array([[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]])
     return correlate2d_same(x, k)

@@ -150,13 +150,12 @@ def _apply_axis_kernel(x, kernel_np, offset, axis, mode, out_len, stride=1):
     pad = [(0, 0)] * x.ndim
     pad[axis] = (pad_left, pad_right)
     xp = jnp.pad(x, pad, mode=_PAD_MODE[mode])
-    kernel = jnp.asarray(kernel_np, dtype=x.dtype)
     start = offset + pad_left
     # Slice so the first valid window lands on output index 0.
     sl = [slice(None)] * x.ndim
     sl[axis] = slice(start, start + (out_len - 1) * stride + length)
     xp = xp[tuple(sl)]
-    return correlate1d(xp, kernel, axis=axis, stride=stride)
+    return correlate1d(xp, kernel_np, axis=axis, stride=stride)
 
 
 def spline_shift(x, shift, mode: str = "nearest", out_shape=None, strides=(1, 1)):

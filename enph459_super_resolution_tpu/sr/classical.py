@@ -1,0 +1,200 @@
+"""Classical multi-frame super-resolution: Shift-and-Add + Iterative
+Back-Projection, as single jit-compiled XLA graphs.
+
+Reference behavior (re-derived, not ported): the shared SR core duplicated
+across the four ``run_sr.py`` scripts — canonical copy
+``mono_barcodes/run_sr.py:188-240``:
+
+  * ``forward_model``  = PSF blur -> sub-pixel shift -> decimate
+  * ``back_project``   = zero-stuff LR error -> inverse shift -> correlate PSF
+  * ``shift_and_add``  = per-frame cubic zoom + shift, averaged
+  * ``ibp``            = n_iter gradient-like updates with per-iter MSE log
+
+TPU-first design decisions:
+
+  * Frames are a stacked ``f32[N, H, W]`` tensor; the per-frame loop is
+    unrolled at trace time (N is 4-5 and static), so XLA sees one flat
+    dataflow graph per iteration and fuses blur/shift/decimate chains.
+  * The IBP iteration is a ``lax.fori_loop`` — one compilation, no Python
+    in the loop, runs entirely on device; the MSE history is carried as a
+    pre-allocated ``f32[n_iter]`` the loop scatters into.
+  * The forward model's ``[::f, ::f]`` decimation is fused into the shift's
+    final separable conv as a window stride (see ``ops.spline_shift``), and
+    the back-projection's zero-stuffing is expressed as a scatter XLA folds
+    into the following convolution.
+  * Shifts and PSF are trace-time constants: each (shape, shifts, psf,
+    iters) combination compiles once and is cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import conv2d_same, correlate2d_same, spline_shift, spline_zoom
+
+# Constants shared by all four reference workloads
+# (``mono_barcodes/run_sr.py:60-67``).
+UPSAMPLE_FACTOR = 2
+PSF_SIZE = 7
+PSF_SIGMA = 1.0
+PSF_HALFWIDTH = 3
+IBP_STEP_SIZE = 0.5
+
+
+def make_gaussian_psf(size: int = PSF_SIZE, sigma: float = PSF_SIGMA) -> np.ndarray:
+    """Normalized 2-D Gaussian PSF (``mono_barcodes/run_sr.py:135-142``)."""
+    hw = size // 2
+    y, x = np.mgrid[-hw:hw + 1, -hw:hw + 1].astype(np.float64)
+    k = np.exp(-(x * x + y * y) / (2.0 * float(sigma) ** 2))
+    return k / k.sum()
+
+
+def forward_model(hr, psf, shift_yx, factor: int):
+    """HR image -> simulated LR frame: blur, shift by ``shift*factor``,
+    decimate (``mono_barcodes/run_sr.py:192-196``).
+
+    The decimation rides the shift's final conv as a window stride, so no
+    full-resolution shifted intermediate is ever materialized.
+    """
+    blurred = conv2d_same(hr, psf)
+    return spline_shift(
+        blurred,
+        (shift_yx[0] * factor, shift_yx[1] * factor),
+        strides=(factor, factor),
+    )
+
+
+def back_project(error_lr, psf, shift_yx, factor: int, hr_shape):
+    """LR residual -> HR-grid correction (``mono_barcodes/run_sr.py:199-209``).
+
+    Zero-stuff onto the HR grid, shift by ``-shift*factor``, correlate with
+    the PSF (== convolve with the flipped PSF).
+    """
+    h_hr, w_hr = hr_shape
+    up = jnp.zeros(error_lr.shape[:-2] + (h_hr, w_hr), dtype=error_lr.dtype)
+    up = up.at[..., : error_lr.shape[-2] * factor : factor,
+               : error_lr.shape[-1] * factor : factor].set(error_lr)
+    shifted = spline_shift(up, (-shift_yx[0] * factor, -shift_yx[1] * factor))
+    return correlate2d_same(shifted, psf)
+
+
+def shift_and_add(lr_stack, shifts_yx: Sequence, factor: int = UPSAMPLE_FACTOR):
+    """Cubic zoom each frame, shift into registration, average
+    (``mono_barcodes/run_sr.py:212-218``).
+
+    Args:
+      lr_stack: ``f32[N, h, w]`` stacked LR frames.
+      shifts_yx: static sequence of N ``(dy, dx)`` LR-pixel shifts.
+    """
+    n = lr_stack.shape[0]
+    up = spline_zoom(lr_stack, factor)  # batched matmul resize
+    acc = None
+    for i in range(n):
+        dy, dx = shifts_yx[i]
+        term = spline_shift(up[i], (dy * factor, dx * factor))
+        acc = term if acc is None else acc + term
+    return acc / n
+
+
+def native_upsample(lr_mean, factor: int = UPSAMPLE_FACTOR):
+    """Bicubic-spline zoom of the LR mean (``mono_barcodes/run_sr.py:315``)."""
+    return spline_zoom(lr_mean, factor)
+
+
+def ibp_step(hr, lr_stack, shifts_yx, psf, factor: int, step: float,
+             clip=(0.0, 255.0)):
+    """One IBP update over all frames; returns (new_hr, mean MSE)."""
+    n = lr_stack.shape[0]
+    correction = jnp.zeros_like(hr)
+    total_err = jnp.asarray(0.0, dtype=hr.dtype)
+    for i in range(n):
+        sim = forward_model(hr, psf, shifts_yx[i], factor)
+        err = lr_stack[i] - sim
+        total_err = total_err + jnp.mean(err * err)
+        correction = correction + back_project(err, psf, shifts_yx[i], factor,
+                                               hr.shape[-2:])
+    hr = hr + step * correction / n
+    hr = jnp.clip(hr, clip[0], clip[1])
+    return hr, total_err / n
+
+
+def ibp(lr_stack, shifts_yx, psf, hr_init, factor: int = UPSAMPLE_FACTOR,
+        n_iter: int = 80, step: float = IBP_STEP_SIZE, clip=(0.0, 255.0)):
+    """Iterative back-projection (``mono_barcodes/run_sr.py:221-240``).
+
+    A ``lax.fori_loop`` over a fixed dataflow graph; returns
+    ``(hr, f32[n_iter] per-iteration mean MSE)``.
+    """
+    def body(it, carry):
+        hr, errs = carry
+        hr, mse = ibp_step(hr, lr_stack, shifts_yx, psf, factor, step, clip)
+        return hr, errs.at[it].set(mse)
+
+    errs0 = jnp.zeros((n_iter,), dtype=hr_init.dtype)
+    return jax.lax.fori_loop(0, n_iter, body, (hr_init, errs0))
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
+                    n_iter, step, clip_max):
+    """Jitted full-session solver, cached per (psf, shifts, config).
+
+    The PSF and shifts are trace-time constants: PSF taps bake into the
+    fused tap-sum kernels (see ops.conv) and shifts into the spline-phase
+    kernels, so XLA sees one flat constant-coefficient dataflow graph.
+    """
+    psf = np.frombuffer(psf_bytes, dtype=psf_dtype).reshape(psf_shape)
+    clip = (0.0, clip_max)
+
+    @jax.jit
+    def run(lr_stack):
+        lr_mean = jnp.mean(lr_stack, axis=0)
+        native = native_upsample(lr_mean, factor)
+        saa = shift_and_add(lr_stack, shifts_yx, factor)
+        hr, errs = ibp(lr_stack, shifts_yx, psf, saa, factor, n_iter, step,
+                       clip)
+        return {
+            "lr_mean": lr_mean,
+            "native": native,
+            "saa": saa,
+            "ibp": hr,
+            "mse_history": errs,
+        }
+
+    return run
+
+
+def solve(lr_stack, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
+          n_iter: int = 80, step: float = IBP_STEP_SIZE,
+          clip_max: float = 255.0):
+    """Full classical SR solve in ONE compiled graph.
+
+    Computes everything a reference ``process_session`` rep computes
+    (``mono_barcodes/run_sr.py:301-335``): the LR mean, its bicubic 2x
+    upsample (Native-2x), Shift-and-Add, and SAA-seeded IBP with the MSE
+    convergence history.
+
+    Args:
+      lr_stack: ``f32[N, h, w]`` registered LR frames (jax or numpy).
+      psf: ``(k, k)`` numpy blur kernel (static; baked into the graph).
+      shifts_yx: static tuple of N (dy, dx) tuples, LR pixels.
+
+    Returns dict of ``lr_mean, native, saa, ibp, mse_history``.
+    """
+    psf = np.asarray(psf, dtype=np.float64)
+    shifts_key = tuple((float(dy), float(dx)) for dy, dx in shifts_yx)
+    fn = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype), shifts_key,
+                         int(factor), int(n_iter), float(step),
+                         float(clip_max))
+    return fn(lr_stack)
+
+
+def to_uint8(img) -> np.ndarray:
+    """Reference output quantization: clip to [0, 255] then TRUNCATE
+    (``np.clip(...).astype(np.uint8)``, ``mono_barcodes/run_sr.py:339``)."""
+    return np.clip(np.asarray(img), 0, 255).astype(np.uint8)

@@ -1,0 +1,160 @@
+"""Session-level SR pipeline: load -> device solve -> artifacts on disk.
+
+Reproduces the reference driver workflow (``mono_barcodes/run_sr.py:293-351``):
+per session/rep outputs ``native_2x.png``, ``SAA.png``, ``SAA_IBP.png``,
+``LR_mean.png``, ``comparison.png``, ``convergence.png`` and an idempotent
+``done.flag`` sentinel — plus, unlike the reference, a structured
+``metrics.json`` with per-stage wall-clock + the full MSE history
+(SURVEY.md §5 observability rebuild note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.io import save_png
+from ..data.sessions import SessionData
+from ..utils.timing import StageTimer
+from .classical import solve, to_uint8
+from .config import WorkloadConfig
+
+
+def _unit_out_dir(output_base: str, session: SessionData) -> str:
+    out = os.path.join(output_base, session.name)
+    if session.rep is not None:
+        out = os.path.join(out, f"rep{session.rep}")
+    return out
+
+
+def save_figures(hr_images: Dict[str, np.ndarray], lr_mean: np.ndarray,
+                 mse_history: np.ndarray, out_dir: str, title: str) -> None:
+    """comparison.png (full view + center crop per method) and
+    convergence.png (IBP MSE curve), reference-style."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    h, w = next(iter(hr_images.values())).shape
+    cr = slice(max(h // 2 - 100, 0), h // 2 + 100)
+    cc = slice(max(w // 2 - 100, 0), w // 2 + 100)
+    n = len(hr_images) + 1
+    fig, axes = plt.subplots(2, n, figsize=(4 * n, 8))
+    ds = 4
+    axes[0, 0].imshow(lr_mean[::ds, ::ds], cmap="gray", interpolation="nearest")
+    axes[0, 0].set_title("LR mean", fontsize=9)
+    axes[1, 0].imshow(lr_mean[cr, cc][::2, ::2], cmap="gray",
+                      interpolation="nearest")
+    axes[1, 0].set_title("LR crop", fontsize=8)
+    for i, (name, img) in enumerate(hr_images.items(), 1):
+        axes[0, i].imshow(img[::ds * 2, ::ds * 2], cmap="gray",
+                          interpolation="nearest")
+        axes[0, i].set_title(name, fontsize=9)
+        axes[1, i].imshow(img[cr, cc], cmap="gray", interpolation="nearest")
+        axes[1, i].set_title(name, fontsize=8)
+    for ax in axes.ravel():
+        ax.axis("off")
+    fig.suptitle(title, fontsize=10)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "comparison.png"), bbox_inches="tight",
+                dpi=100)
+    plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(mse_history, lw=1.5, color="C3")
+    ax.set_title("IBP convergence")
+    ax.set_xlabel("Iteration")
+    ax.set_ylabel("MSE")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "convergence.png"), bbox_inches="tight")
+    plt.close(fig)
+
+
+def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
+                 output_base: str, figures: bool = True,
+                 force: bool = False) -> Optional[str]:
+    """Run one SR unit (a session or one rep) end to end.
+
+    Returns the output dir, or None when skipped via ``done.flag``
+    (idempotent resume, ``mono_barcodes/run_sr.py:306-308``).
+    """
+    out_dir = _unit_out_dir(output_base, session)
+    done_flag = os.path.join(out_dir, "done.flag")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(done_flag) and not force:
+        print(f"  [skip] {out_dir} - already done")
+        return None
+
+    timer = StageTimer()
+    with timer.stage("h2d"):
+        frames = jnp.asarray(session.frames)
+
+    with timer.stage("solve"):
+        result = solve(frames, psf, session.shifts,
+                       factor=cfg.upsample_factor,
+                       n_iter=cfg.ibp_iterations, step=cfg.ibp_step)
+        result = {k: np.asarray(v) for k, v in result.items()}  # d2h sync
+
+    with timer.stage("save"):
+        hr_images = {
+            "Native-2x": to_uint8(result["native"]),
+            "SAA": to_uint8(result["saa"]),
+            "SAA+IBP": to_uint8(result["ibp"]),
+        }
+        name_map = {"Native-2x": "native_2x", "SAA": "SAA", "SAA+IBP": "SAA_IBP"}
+        for name, img in hr_images.items():
+            save_png(img, os.path.join(out_dir, f"{name_map[name]}.png"))
+        save_png(to_uint8(result["lr_mean"]),
+                 os.path.join(out_dir, "LR_mean.png"))
+        with open(os.path.join(out_dir, "shifts.json"), "w") as fp:
+            json.dump({"shifts_lr_yx": [list(s) for s in session.shifts]}, fp,
+                      indent=2)
+
+    if figures:
+        with timer.stage("figures"):
+            title = f"{cfg.name} SR - {session.name}" + (
+                f" rep{session.rep}" if session.rep is not None else "")
+            save_figures(hr_images, result["lr_mean"],
+                         result["mse_history"], out_dir, title)
+
+    metrics = {
+        "workload": cfg.name,
+        "session": session.name,
+        "rep": session.rep,
+        "n_frames": int(session.frames.shape[0]),
+        "lr_shape": list(session.frames.shape[1:]),
+        "hr_shape": list(result["ibp"].shape),
+        "ibp_iterations": cfg.ibp_iterations,
+        "final_mse": float(result["mse_history"][-1]),
+        "mse_history": [float(v) for v in result["mse_history"]],
+        "timings_s": timer.as_dict(),
+        "hr_megapixels": float(np.prod(result["ibp"].shape)) / 1e6,
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as fp:
+        json.dump(metrics, fp, indent=2)
+
+    open(done_flag, "w").close()
+    print(f"  done: {out_dir}  (solve {timer.as_dict().get('solve', 0):.2f}s, "
+          f"final MSE {metrics['final_mse']:.4f})")
+    return out_dir
+
+
+def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
+                        output_base: str, figures: bool = True,
+                        force: bool = False) -> int:
+    """Load all units in a session directory and process each."""
+    t0 = time.time()
+    units = cfg.load(session_dir)
+    print(f"Session {os.path.basename(session_dir)}: {len(units)} unit(s), "
+          f"loaded in {time.time() - t0:.1f}s")
+    n = 0
+    for unit in units:
+        if process_unit(unit, psf, cfg, output_base, figures, force) is not None:
+            n += 1
+    return n

@@ -1,0 +1,77 @@
+"""CLI: classical multi-frame SR over capture sessions.
+
+One entry point replacing the reference's four copy-pasted scripts
+(``{mono,rgb}_{cal_target,barcodes}/run_sr.py``):
+
+    python -m enph459_super_resolution_tpu.sr.run \
+        --workload mono_cal_target --data-dir .../data --output-dir results
+
+Flags mirror the reference CLI (``mono_barcodes/run_sr.py:356-367``):
+``--psf {gaussian,measured}``, ``--psf-dir``, ``--data-dir``,
+``--output-dir``; plus ``--no-figures`` / ``--force`` / ``--session``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force a JAX platform (must be set before jax loads; "
+                        "the environment's sitecustomize overrides shell env)")
+    args_pre, _ = p.parse_known_args(argv)
+    if args_pre.platform:
+        os.environ["JAX_PLATFORMS"] = args_pre.platform
+
+    # Heavy imports only after the platform is pinned.
+    from ..psf.kernels import load_measured_psf, make_gaussian_psf
+    from .config import WORKLOADS
+    from .pipeline import process_session_dir
+    from ..data.sessions import discover_sessions
+
+    p.add_argument("--workload", required=True, choices=sorted(WORKLOADS))
+    p.add_argument("--psf", choices=["gaussian", "measured"], default="gaussian")
+    p.add_argument("--psf-dir", default=None,
+                   help="beam-shift calibration data dir (measured PSF)")
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--session", default=None,
+                   help="process only this session directory name")
+    p.add_argument("--no-figures", action="store_true")
+    p.add_argument("--force", action="store_true",
+                   help="ignore done.flag sentinels")
+    args = p.parse_args(argv)
+
+    cfg = WORKLOADS[args.workload]
+    if args.psf == "measured":
+        if not args.psf_dir:
+            p.error("--psf measured requires --psf-dir")
+        psf = load_measured_psf(args.psf_dir, halfwidth=cfg.psf_size // 2)
+    else:
+        psf = make_gaussian_psf(cfg.psf_size, cfg.psf_sigma)
+
+    sessions = discover_sessions(args.data_dir)
+    if args.session:
+        sessions = [s for s in sessions if s.endswith(args.session)]
+    if not sessions:
+        print(f"no sessions found in {args.data_dir}", file=sys.stderr)
+        return 1
+
+    t0 = time.time()
+    total = 0
+    for i, sdir in enumerate(sessions, 1):
+        print(f"[{i}/{len(sessions)}]", end=" ")
+        total += process_session_dir(sdir, psf, cfg, args.output_dir,
+                                     figures=not args.no_figures,
+                                     force=args.force)
+    print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,177 @@
+"""Classical SR solver tests.
+
+Three layers (mirroring SURVEY.md §4's rebuild implications):
+ 1. behavioral parity against an independent numpy/scipy oracle (the
+    algorithmic spec of the reference SR core, written fresh here);
+ 2. synthetic ground-truth end-to-end: simulate LR frames from a known HR
+    scene, assert SR actually super-resolves (PSNR ordering + convergence);
+ 3. golden parity against the checked-in reference results (SAA/native_2x
+    uint8 outputs within +/-1 count).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+import scipy.signal
+
+import jax.numpy as jnp
+
+from enph459_super_resolution_tpu.sr import (
+    ibp, make_gaussian_psf, shift_and_add, solve, to_uint8,
+)
+from enph459_super_resolution_tpu.sr.classical import back_project, forward_model
+
+RNG = np.random.default_rng(7)
+SHIFTS = ((+0.5, -0.5), (+0.5, +0.5), (-0.5, -0.5), (-0.5, +0.5))
+
+
+# --------------------------------------------------------------------------
+# numpy/scipy oracle — independent implementation of the algorithmic spec
+# --------------------------------------------------------------------------
+
+def np_forward(hr, psf, s, f):
+    b = scipy.signal.fftconvolve(hr, psf, mode="same")
+    sh = ndi.shift(b, (s[0] * f, s[1] * f), order=3, mode="nearest")
+    return sh[::f, ::f]
+
+
+def np_back(err, psf, s, f, hr_shape):
+    up = np.zeros(hr_shape)
+    up[::f, ::f] = err
+    sh = ndi.shift(up, (-s[0] * f, -s[1] * f), order=3, mode="nearest")
+    return scipy.signal.fftconvolve(sh, psf[::-1, ::-1], mode="same")
+
+
+def np_saa(lrs, shifts, f):
+    acc = np.zeros((lrs[0].shape[0] * f, lrs[0].shape[1] * f))
+    for lr, (dy, dx) in zip(lrs, shifts):
+        up = ndi.zoom(lr, f, order=3)
+        acc += ndi.shift(up, (dy * f, dx * f), order=3, mode="nearest")
+    return acc / len(lrs)
+
+
+def np_ibp(lrs, shifts, psf, hr0, f, n_iter, step):
+    hr = hr0.copy()
+    errs = []
+    for _ in range(n_iter):
+        corr = np.zeros_like(hr)
+        tot = 0.0
+        for lr, s in zip(lrs, shifts):
+            sim = np_forward(hr, psf, s, f)
+            e = lr - sim
+            tot += np.mean(e ** 2)
+            corr += np_back(e, psf, s, f, hr.shape)
+        hr = np.clip(hr + step * corr / len(lrs), 0, 255)
+        errs.append(tot / len(lrs))
+    return hr, np.array(errs)
+
+
+def make_scene(h, w):
+    """Smooth random scene with sharp structures, 0..255."""
+    x = RNG.uniform(0, 255, size=(h, w))
+    x = ndi.gaussian_filter(x, 3.0)
+    x = (x - x.min()) / (np.ptp(x) + 1e-9) * 255
+    x[h // 4: h // 2, w // 4: w // 3] = 230  # block edge
+    return x
+
+
+# --------------------------------------------------------------------------
+# oracle parity
+# --------------------------------------------------------------------------
+
+def test_forward_model_matches_oracle():
+    psf = make_gaussian_psf()
+    hr = make_scene(64, 80)
+    want = np_forward(hr, psf, SHIFTS[0], 2)
+    got = np.asarray(forward_model(jnp.asarray(hr, jnp.float32), psf,
+                                   SHIFTS[0], 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3 * 255)
+
+
+def test_back_project_matches_oracle():
+    psf = make_gaussian_psf()
+    err = make_scene(32, 40) - 128.0
+    want = np_back(err, psf, SHIFTS[1], 2, (64, 80))
+    got = np.asarray(back_project(jnp.asarray(err, jnp.float32), psf,
+                                  SHIFTS[1], 2, (64, 80)))
+    np.testing.assert_allclose(got, want, atol=2e-3 * 255)
+
+
+def test_shift_and_add_matches_oracle():
+    lrs = [make_scene(32, 40) for _ in range(4)]
+    want = np_saa(lrs, SHIFTS, 2)
+    got = np.asarray(shift_and_add(jnp.asarray(np.stack(lrs), jnp.float32),
+                                   SHIFTS, 2))
+    np.testing.assert_allclose(got, want, atol=2e-3 * 255)
+
+
+def test_ibp_matches_oracle_few_iters():
+    psf = make_gaussian_psf()
+    hr_true = make_scene(64, 80)
+    lrs = [np_forward(hr_true, psf, s, 2) for s in SHIFTS]
+    hr0 = np_saa(lrs, SHIFTS, 2)
+    want_hr, want_errs = np_ibp(lrs, SHIFTS, psf, hr0, 2, 5, 0.5)
+    got_hr, got_errs = ibp(jnp.asarray(np.stack(lrs), jnp.float32), SHIFTS,
+                           psf, jnp.asarray(hr0, jnp.float32), 2, 5, 0.5)
+    np.testing.assert_allclose(np.asarray(got_errs), want_errs, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_hr), want_hr, atol=0.05 * 255 / 10)
+
+
+# --------------------------------------------------------------------------
+# synthetic ground truth: SR must actually super-resolve
+# --------------------------------------------------------------------------
+
+def test_ibp_superresolves_synthetic_scene():
+    psf = make_gaussian_psf()
+    hr_true = make_scene(96, 112)
+    lrs = np.stack([np_forward(hr_true, psf, s, 2) for s in SHIFTS])
+    out = solve(jnp.asarray(lrs, jnp.float32), psf, SHIFTS, n_iter=40)
+
+    def psnr(a, b):
+        mse = np.mean((np.asarray(a, np.float64) - b) ** 2)
+        return 10 * np.log10(255.0 ** 2 / mse)
+
+    m = 8  # ignore borders
+    crop = (slice(m, -m), slice(m, -m))
+    p_native = psnr(np.asarray(out["native"])[crop], hr_true[crop])
+    p_saa = psnr(np.asarray(out["saa"])[crop], hr_true[crop])
+    p_ibp = psnr(np.asarray(out["ibp"])[crop], hr_true[crop])
+    errs = np.asarray(out["mse_history"])
+
+    assert p_ibp > p_saa, (p_native, p_saa, p_ibp)
+    assert p_ibp > p_native + 3.0, (p_native, p_saa, p_ibp)
+    # convergence: monitored MSE decreases (reference logs this per-iter)
+    assert errs[-1] < errs[0] * 0.5
+    assert np.all(np.diff(errs) < 1e-3)
+
+
+# --------------------------------------------------------------------------
+# golden parity vs checked-in reference outputs (fast: 1 IBP iter — the
+# golden files only cover native_2x / SAA / LR_mean)
+# --------------------------------------------------------------------------
+
+def test_golden_mono_cal_target(reference_root):
+    from enph459_super_resolution_tpu.sr.config import WORKLOADS
+    from PIL import Image
+
+    data = os.path.join(reference_root, "mono_cal_target/data/"
+                        "cal_target_mono_tilt0.14128_settletime50ms")
+    results = os.path.join(reference_root, "mono_cal_target/results/"
+                           "cal_target_mono_tilt0.14128_settletime50ms")
+    cfg = WORKLOADS["mono_cal_target"]
+    unit = cfg.load(data)[0]
+    assert unit.frames.shape == (5, 1536, 2048)
+    assert unit.shifts[0] == (0.0, 0.0)
+
+    out = solve(jnp.asarray(unit.frames), make_gaussian_psf(), unit.shifts,
+                n_iter=1)
+    for key, fname in [("lr_mean", "LR_mean.png"), ("native", "native_2x.png"),
+                       ("saa", "SAA.png")]:
+        want = np.asarray(Image.open(os.path.join(results, fname)), np.int32)
+        got = to_uint8(out[key]).astype(np.int32)
+        d = np.abs(got - want)
+        assert d.max() <= 1, (key, d.max())
+        assert d.mean() < 0.15, (key, d.mean())
