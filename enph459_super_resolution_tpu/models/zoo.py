@@ -1,0 +1,233 @@
+"""Neural SR model zoo — the BASELINE.json north-star families.
+
+All models: NHWC, ``f(lr[B,h,w,C]) -> hr[B,h*s,w*s,C]``, float32 params with
+configurable compute dtype (bfloat16 trunks keep the MXU at full rate).
+
+Families (architectures per the original papers, config names per
+BASELINE.json):
+  * SRCNN   — Dong et al. 2014, 9-5-5 on a bicubic-upsampled input.
+  * ESPCN   — Shi et al. 2016, 5-3-3 + sub-pixel shuffle head.
+  * FSRCNN  — Dong et al. 2016, feature/shrink/map/expand + transposed conv.
+  * EDSR    — Lim et al. 2017 baseline: 16 resblocks x 64 feats, no BN.
+  * RRDBNet — ESRGAN generator (Wang et al. 2018): 23 RRDB blocks.
+  * VGGStyleDiscriminator — for the ESRGAN GAN fine-tune stage.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import MeanShift, ResBlock, Upsampler, pixel_shuffle
+
+
+class SRCNN(nn.Module):
+    """9-5-5 conv net on a pre-upsampled (bicubic) input; scale handled by
+    the data pipeline, so __call__ maps (B,H,W,C)->(B,H,W,C)."""
+
+    channels: int = 1
+    f1: int = 64
+    f2: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.relu(nn.Conv(self.f1, (9, 9), dtype=self.dtype)(x))
+        x = nn.relu(nn.Conv(self.f2, (5, 5), dtype=self.dtype)(x))
+        x = nn.Conv(self.channels, (5, 5), dtype=self.dtype)(x)
+        return x.astype(jnp.float32)
+
+
+class ESPCN(nn.Module):
+    """Efficient sub-pixel CNN: small trunk at LR resolution, r^2-channel
+    conv + pixel shuffle at the end (all FLOPs stay on the LR grid)."""
+
+    scale: int = 4
+    channels: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.tanh(nn.Conv(64, (5, 5), dtype=self.dtype)(x))
+        x = nn.tanh(nn.Conv(32, (3, 3), dtype=self.dtype)(x))
+        x = nn.Conv(self.channels * self.scale ** 2, (3, 3),
+                    dtype=self.dtype)(x)
+        return pixel_shuffle(x, self.scale).astype(jnp.float32)
+
+
+class FSRCNN(nn.Module):
+    """Feature(5x5,d) -> shrink(1x1,s) -> m x map(3x3,s) -> expand(1x1,d)
+    -> sub-pixel upsample.
+
+    The original uses a 9x9 transposed conv; on TPU a conv + pixel-shuffle
+    head is mathematically equivalent capacity at a fraction of the cost
+    (transposed convs lower poorly), so the deconv is realized as
+    conv(C*r^2) + depth_to_space.
+    """
+
+    scale: int = 4
+    channels: int = 1
+    d: int = 56
+    s: int = 12
+    m: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        prelu = functools.partial(nn.PReLU, param_dtype=jnp.float32)
+        x = nn.Conv(self.d, (5, 5), dtype=self.dtype)(x)
+        x = prelu()(x)
+        x = nn.Conv(self.s, (1, 1), dtype=self.dtype)(x)
+        x = prelu()(x)
+        for _ in range(self.m):
+            x = nn.Conv(self.s, (3, 3), dtype=self.dtype)(x)
+            x = prelu()(x)
+        x = nn.Conv(self.d, (1, 1), dtype=self.dtype)(x)
+        x = prelu()(x)
+        x = nn.Conv(self.channels * self.scale ** 2, (9, 9),
+                    dtype=self.dtype)(x)
+        return pixel_shuffle(x, self.scale).astype(jnp.float32)
+
+
+class EDSR(nn.Module):
+    """EDSR-baseline: 16 residual blocks, 64 features, res_scale 1.0
+    (paper-large would be 32 x 256 with res_scale 0.1)."""
+
+    scale: int = 4
+    channels: int = 3
+    n_resblocks: int = 16
+    n_feats: int = 64
+    res_scale: float = 1.0
+    rgb_range: float = 255.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = MeanShift(sign=-1, scale=self.rgb_range)(x)
+        x = x.astype(self.dtype)
+        x = head = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
+        for _ in range(self.n_resblocks):
+            x = ResBlock(self.n_feats, self.res_scale, dtype=self.dtype)(x)
+        x = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
+        x = x + head
+        x = Upsampler(self.scale, self.n_feats, dtype=self.dtype)(x)
+        x = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
+        return MeanShift(sign=+1, scale=self.rgb_range)(x)
+
+
+class DenseBlock(nn.Module):
+    """ESRGAN residual dense block: 5 convs with dense connections."""
+
+    nf: int = 64
+    gc: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = functools.partial(nn.leaky_relu, negative_slope=0.2)
+        c1 = lrelu(nn.Conv(self.gc, (3, 3), dtype=self.dtype)(x))
+        c2 = lrelu(nn.Conv(self.gc, (3, 3), dtype=self.dtype)(
+            jnp.concatenate([x, c1], -1)))
+        c3 = lrelu(nn.Conv(self.gc, (3, 3), dtype=self.dtype)(
+            jnp.concatenate([x, c1, c2], -1)))
+        c4 = lrelu(nn.Conv(self.gc, (3, 3), dtype=self.dtype)(
+            jnp.concatenate([x, c1, c2, c3], -1)))
+        c5 = nn.Conv(self.nf, (3, 3), dtype=self.dtype)(
+            jnp.concatenate([x, c1, c2, c3, c4], -1))
+        return x + 0.2 * c5
+
+
+class RRDB(nn.Module):
+    """Residual-in-residual dense block (3 dense blocks)."""
+
+    nf: int = 64
+    gc: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r = x
+        for _ in range(3):
+            r = DenseBlock(self.nf, self.gc, dtype=self.dtype)(r)
+        return x + 0.2 * r
+
+
+class RRDBNet(nn.Module):
+    """ESRGAN generator: conv -> n_blocks x RRDB -> trunk conv (+skip) ->
+    2-stage nearest-neighbour + conv upsampling -> HR convs."""
+
+    scale: int = 4
+    channels: int = 3
+    nf: int = 64
+    nb: int = 23
+    gc: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = functools.partial(nn.leaky_relu, negative_slope=0.2)
+        x = x.astype(self.dtype)
+        fea = nn.Conv(self.nf, (3, 3), dtype=self.dtype)(x)
+        trunk = fea
+        for _ in range(self.nb):
+            trunk = RRDB(self.nf, self.gc, dtype=self.dtype)(trunk)
+        trunk = nn.Conv(self.nf, (3, 3), dtype=self.dtype)(trunk)
+        fea = fea + trunk
+        stages = {2: (2,), 4: (2, 2), 8: (2, 2, 2)}[self.scale]
+        for r in stages:
+            b, h, w, c = fea.shape
+            fea = jnp.broadcast_to(fea[:, :, None, :, None, :],
+                                   (b, h, r, w, r, c)).reshape(b, h * r, w * r, c)
+            fea = lrelu(nn.Conv(self.nf, (3, 3), dtype=self.dtype)(fea))
+        fea = lrelu(nn.Conv(self.nf, (3, 3), dtype=self.dtype)(fea))
+        out = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(fea)
+        return out.astype(jnp.float32)
+
+
+class VGGStyleDiscriminator(nn.Module):
+    """ESRGAN discriminator: strided VGG trunk + 2-layer MLP head.
+
+    BatchNorm-free (uses GroupNorm) so the module is stateless and shards
+    cleanly over a data-parallel mesh without cross-device batch stats.
+    """
+
+    nf: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        lrelu = functools.partial(nn.leaky_relu, negative_slope=0.2)
+        x = x.astype(self.dtype)
+        feats = [self.nf, self.nf, self.nf * 2, self.nf * 2, self.nf * 4,
+                 self.nf * 4, self.nf * 8, self.nf * 8]
+        for i, f in enumerate(feats):
+            stride = 2 if i % 2 == 1 else 1
+            x = nn.Conv(f, (3, 3) if i % 2 == 0 else (4, 4),
+                        strides=(stride, stride), dtype=self.dtype)(x)
+            if i > 0:
+                x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+            x = lrelu(x)
+        x = jnp.mean(x, axis=(1, 2))  # global pool -> size-agnostic head
+        x = lrelu(nn.Dense(100, dtype=self.dtype)(x))
+        x = nn.Dense(1, dtype=self.dtype)(x)
+        return x.astype(jnp.float32)
+
+
+MODELS = {
+    "srcnn": SRCNN,
+    "espcn": ESPCN,
+    "fsrcnn": FSRCNN,
+    "edsr": EDSR,
+    "rrdbnet": RRDBNet,
+}
+
+
+def create_model(name: str, **kwargs) -> nn.Module:
+    return MODELS[name](**kwargs)

@@ -1,0 +1,15 @@
+"""Mesh parallelism: DP/TP shardings, tiled halo-exchange spatial compute."""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_params_tp,
+    shard_train_step,
+)
+from .tiled import halo_exchange, sharded_ibp, tiled_apply
+
+__all__ = [
+    "batch_sharding", "make_mesh", "replicated", "shard_params_tp",
+    "shard_train_step", "halo_exchange", "sharded_ibp", "tiled_apply",
+]

@@ -1,0 +1,76 @@
+"""Device mesh construction + sharded train/eval step builders.
+
+The reference has no parallelism at all (SURVEY.md §2: a ``for`` loop over
+sessions is its unit of scale); this package *introduces* it TPU-natively:
+
+  * ``dp``  — data parallel over batch / sessions / reps,
+  * ``sp``  — spatial tiling of the image grid (halo exchange, see tiled.py),
+  * ``tp``  — tensor parallel over conv feature channels.
+
+All built on ``jax.sharding.Mesh`` + ``NamedSharding``; XLA GSPMD inserts
+the collectives (gradient psum over dp, channel all-gathers for tp) and
+lays them on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(axes: Optional[Dict[str, int]] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a mesh; default is all devices on a 1-D ``dp`` axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if axes is None:
+        axes = {"dp": len(devices)}
+    names = tuple(axes)
+    sizes = tuple(axes.values())
+    if int(np.prod(sizes)) != len(devices):
+        raise ValueError(f"mesh {axes} needs {np.prod(sizes)} devices, "
+                         f"have {len(devices)}")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) dim over ``axis``, replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params_tp(params, mesh: Mesh, axis: str = "tp"):
+    """Tensor-parallel param layout: shard every conv kernel's output-feature
+    dim (last axis) over ``axis`` when divisible; replicate everything else.
+
+    With NHWC convs, sharding kernels on O and activations on C makes GSPMD
+    keep activations channel-sharded through the trunk (all-gathering only
+    where a layer mixes channels in unsupported ways).
+    """
+    tp = mesh.shape[axis]
+
+    def spec_for(x):
+        if x.ndim >= 1 and x.shape[-1] % tp == 0 and x.shape[-1] >= tp * 8:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [axis])))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, spec_for(x)), params)
+
+
+def shard_train_step(step_fn, mesh: Mesh, dp_axis: str = "dp"):
+    """Jit a ``step(state, lr, hr)`` with batch sharded over ``dp`` and the
+    state's sharding left to GSPMD (replicated params by default), donating
+    the state buffers."""
+    data_s = batch_sharding(mesh, dp_axis)
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, data_s, data_s),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,186 @@
+"""Spatially-sharded (tiled) image processing with halo exchange.
+
+The reference processes 12.6-Mpixel HR grids monolithically (SURVEY.md §5
+"long-context" note); the TPU-native scaling axis is the image plane:
+shard H over a mesh axis, exchange overlap halos between neighbours with
+``ppermute`` (pure ICI neighbour traffic), compute per tile, keep interiors.
+
+Consumers:
+  * :func:`tiled_apply` — one-shot tiled inference for any shift-invariant
+    local op (e.g. a conv-trunk SR model) whose receptive-field radius is
+    known: exact, because the halo covers the receptive field.
+  * :func:`sharded_ibp` — the classical IBP loop with a *per-iteration*
+    halo refresh: one iteration's influence radius is bounded (PSF + spline
+    kernels), so refreshing halos at the top of every iteration keeps every
+    tile interior equal to the unsharded solve to float tolerance while the
+    whole 50-80 iteration loop runs distributed.
+
+Boundary semantics: at the two global image edges there is no neighbour;
+halos there are filled with edge-replicated rows, which reproduces the
+resampler's SciPy-compatible 'nearest' (edge pre-pad) behavior to below
+f32 epsilon (the prefilter's symmetric-vs-edge init difference decays as
+|sqrt(3)-2|^halo).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sr.classical import back_project, forward_model
+
+
+def _edge_block(x, halo: int, axis: int, top: bool):
+    """Edge-replicated halo block (global image boundary)."""
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, 1) if top else slice(x.shape[axis] - 1, x.shape[axis])
+    edge = x[tuple(sl)]
+    reps = [1] * x.ndim
+    reps[axis] = halo
+    return jnp.tile(edge, reps)
+
+
+def halo_exchange(x, halo: int, axis_name: str, axis: int = 0):
+    """Extend this device's tile with ``halo`` rows from each neighbour
+    along ``axis``; global edges get edge-replicated rows.
+
+    (..., T, ...) -> (..., halo + T + halo, ...), two ppermutes.
+    """
+    n = jax.lax.axis_size(axis_name)
+    axis = axis % x.ndim
+    if halo > x.shape[axis]:
+        raise ValueError(
+            f"halo ({halo}) exceeds tile extent ({x.shape[axis]}) along the "
+            f"sharded axis; use fewer devices or a larger image")
+    sl_lo = [slice(None)] * x.ndim
+    sl_lo[axis] = slice(0, halo)
+    sl_hi = [slice(None)] * x.ndim
+    sl_hi[axis] = slice(x.shape[axis] - halo, x.shape[axis])
+
+    # my top rows -> previous device's bottom halo; my bottom rows -> next's top
+    perm_up = [(i, (i - 1) % n) for i in range(n)]
+    perm_dn = [(i, (i + 1) % n) for i in range(n)]
+    from_next = jax.lax.ppermute(x[tuple(sl_lo)], axis_name, perm_up)
+    from_prev = jax.lax.ppermute(x[tuple(sl_hi)], axis_name, perm_dn)
+
+    idx = jax.lax.axis_index(axis_name)
+    from_prev = jnp.where(idx == 0, _edge_block(x, halo, axis, top=True),
+                          from_prev)
+    from_next = jnp.where(idx == n - 1, _edge_block(x, halo, axis, top=False),
+                          from_next)
+    return jnp.concatenate([from_prev, x, from_next], axis=axis)
+
+
+def tiled_apply(fn: Callable, img, mesh: Mesh, halo: int,
+                sp_axis: str = "sp", axis: int = -2, out_scale: int = 1):
+    """Apply a local op to a spatially-sharded image, exactly.
+
+    Args:
+      fn: shift-invariant local function (tile -> tile, same leading dims);
+        receptive-field radius must be <= ``halo``.  If it upsamples by
+        ``out_scale``, output tiles are ``T * out_scale`` tall.
+      img: full image (..., H, W); H divisible by the sp axis size.
+      halo: overlap in *input* pixels.
+
+    Returns the full output, interiors stitched (still sharded on device).
+    """
+    nsp = mesh.shape[sp_axis]
+    ndim = img.ndim
+    axis_n = axis % ndim
+    if img.shape[axis_n] % nsp != 0:
+        raise ValueError(f"H={img.shape[axis_n]} not divisible by sp={nsp}")
+
+    def shard_fn(tile):
+        ext = halo_exchange(tile, halo, sp_axis, axis_n)
+        out = fn(ext)
+        s = out_scale
+        sl = [slice(None)] * out.ndim
+        sl[axis_n] = slice(halo * s, halo * s + tile.shape[axis_n] * s)
+        return out[tuple(sl)]
+
+    spec_list = [None] * ndim
+    spec_list[axis_n] = sp_axis
+    spec = P(*spec_list)
+
+    mapped = jax.shard_map(shard_fn, mesh=mesh, in_specs=(spec,),
+                           out_specs=spec)
+    img = jax.device_put(img, NamedSharding(mesh, spec))
+    return jax.jit(mapped)(img)
+
+
+def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
+                factor: int = 2, n_iter: int = 80, step: float = 0.5,
+                halo_lr: int = 32, sp_axis: str = "sp",
+                clip=(0.0, 255.0)):
+    """Classical IBP with the image plane sharded over ``sp_axis``.
+
+    Per iteration and per device: refresh the HR tile's halo from its
+    neighbours (2 ppermutes of ``halo_lr * factor`` rows over ICI), run one
+    IBP update on the extended tile, keep the interior.  One iteration's
+    support radius (7x7 PSF + ~19-tap spline-phase kernels, twice) is well
+    under ``halo_lr * factor``, so interiors match the unsharded solve to
+    float tolerance.  The monitored MSE is computed over interiors only and
+    ``pmean``-reduced, matching the unsharded per-iteration MSE.
+
+    Boundary caveat (measured, see tests/test_parallel.py): within ~10 HR
+    rows of the two *global* image edges the sharded result deviates from
+    the unsharded one, because the unsharded op's boundary condition pads
+    the *zero-stuffed* error grid (an interleaved pattern no LR-level halo
+    can reproduce) while the sharded op extends the error field itself.
+    Both are arbitrary boundary priors; the deviation zone does not grow
+    with iterations and everything outside it is float-exact.  Trim ~16
+    edge rows (as the reference's own analyses do when cropping ROIs)
+    when comparing against the single-device solve.
+
+    Args:
+      lr_stack: (N, h, w) registered LR frames.
+      hr_init: (h*factor, w*factor) seed (e.g. SAA output).
+
+    Returns (hr, mse_history); hr sharded over the mesh.
+    """
+    shifts_key = tuple((float(a), float(b)) for a, b in shifts_yx)
+    psf = np.asarray(psf, dtype=np.float64)
+    nsp = mesh.shape[sp_axis]
+    n_frames, h, _ = lr_stack.shape[-3:]
+    if h % nsp != 0:
+        raise ValueError(f"H={h} not divisible by sp={nsp}")
+    halo_hr = halo_lr * factor
+
+    def shard_fn(lr_tile, hr_tile):
+        lr_ext = halo_exchange(lr_tile, halo_lr, sp_axis, 1)
+
+        def body(it, carry):
+            hr_int, errs = carry
+            hr_ext = halo_exchange(hr_int, halo_hr, sp_axis, 0)
+            correction = jnp.zeros_like(hr_ext)
+            mse = jnp.asarray(0.0, dtype=hr_ext.dtype)
+            for i in range(n_frames):
+                sim = forward_model(hr_ext, psf, shifts_key[i], factor)
+                err = lr_ext[i] - sim
+                mse = mse + jnp.mean(
+                    jnp.square(err[halo_lr:halo_lr + lr_tile.shape[1]]))
+                correction = correction + back_project(
+                    err, psf, shifts_key[i], factor, hr_ext.shape[-2:])
+            hr_ext = jnp.clip(hr_ext + step * correction / n_frames,
+                              clip[0], clip[1])
+            hr_int = hr_ext[halo_hr:halo_hr + hr_tile.shape[0]]
+            errs = errs.at[it].set(jax.lax.pmean(mse / n_frames, sp_axis))
+            return hr_int, errs
+
+        errs0 = jnp.zeros((n_iter,), dtype=hr_tile.dtype)
+        return jax.lax.fori_loop(0, n_iter, body, (hr_tile, errs0))
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, sp_axis, None), P(sp_axis, None)),
+        out_specs=(P(sp_axis, None), P()))
+
+    lr_stack = jax.device_put(jnp.asarray(lr_stack),
+                              NamedSharding(mesh, P(None, sp_axis, None)))
+    hr_init = jax.device_put(jnp.asarray(hr_init),
+                             NamedSharding(mesh, P(sp_axis, None)))
+    return jax.jit(mapped)(lr_stack, hr_init)

@@ -26,7 +26,12 @@ def main(argv=None) -> int:
                         "the environment's sitecustomize overrides shell env)")
     args_pre, _ = p.parse_known_args(argv)
     if args_pre.platform:
+        # The container's sitecustomize imports jax at startup and latches
+        # the platform from the env, so both paths are needed: the env var
+        # for clean interpreters, jax.config for hooked ones.
         os.environ["JAX_PLATFORMS"] = args_pre.platform
+        import jax
+        jax.config.update("jax_platforms", args_pre.platform)
 
     # Heavy imports only after the platform is pinned.
     from ..psf.kernels import load_measured_psf, make_gaussian_psf

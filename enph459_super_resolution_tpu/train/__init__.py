@@ -1,0 +1,30 @@
+"""Training: losses, EMA, train state/steps, data pipeline, checkpointing."""
+
+from .losses import (
+    PIXEL_LOSSES,
+    PerceptualLoss,
+    charbonnier_loss,
+    gradient_feature_fn,
+    l1_loss,
+    l2_loss,
+    psnr,
+    ragan_discriminator_loss,
+    ragan_generator_loss,
+)
+from .state import (
+    GANTrainState,
+    TrainConfig,
+    TrainState,
+    ema_update,
+    make_gan_train_step,
+    make_optimizer,
+    make_train_step,
+)
+
+__all__ = [
+    "PIXEL_LOSSES", "PerceptualLoss", "charbonnier_loss",
+    "gradient_feature_fn", "l1_loss", "l2_loss", "psnr",
+    "ragan_discriminator_loss", "ragan_generator_loss",
+    "GANTrainState", "TrainConfig", "TrainState", "ema_update",
+    "make_gan_train_step", "make_optimizer", "make_train_step",
+]
