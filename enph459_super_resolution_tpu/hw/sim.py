@@ -1,0 +1,265 @@
+"""Physics simulator implementing the hardware protocols.
+
+The reference can only run against its optical bench; this simulator makes
+every layer above L1 (calibration, collection, SR, analysis) hermetically
+testable (SURVEY.md §4 implication).  The model, parameterized by the
+reference's own calibration numbers (BASELINE.md):
+
+  * beam steering: pixel shift = ``gain_px_per_deg * tilt`` per axis plus
+    Gaussian jitter whose sigma grows when the commanded settle time is
+    below the mechanical time constant (reproducing the settle-time sweep
+    and rolling-stability experiments);
+  * camera: LR frames rendered from a HR ground-truth scene through the
+    classical forward model (PSF blur, sub-pixel shift, decimation — the
+    same ops the SR solver inverts), exposure-scaled brightness, optional
+    RGGB mosaic for color mode, shot/read noise, uint8 quantization;
+  * trigger plumbing: hardware-trigger captures require a GPIO pulse since
+    the last frame, mirroring the XPR GPIO0 -> camera Line2 wiring.
+
+Rendering runs on device (jit-cached per scene/geometry).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..sr.classical import make_gaussian_psf
+
+
+def pinhole_scene(shape=(1536 * 2, 2048 * 2), spot_sigma_px: float = 1.4,
+                  amplitude: float = 235.0, background: float = 2.0,
+                  center=None) -> np.ndarray:
+    """HR ground truth for calibration sims: a backlit pinhole (Gaussian
+    spot), like the 5 um pinhole in the reference rig."""
+    h, w = shape
+    cy, cx = center if center is not None else (h / 2.0, w / 2.0)
+    yy, xx = np.mgrid[:h, :w].astype(np.float64)
+    img = background + amplitude * np.exp(
+        -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * spot_sigma_px ** 2))
+    return img
+
+
+def knife_edge_scene(shape=(1024, 1280), edge_col: float = 640.0,
+                     lo: float = 20.0, hi: float = 220.0) -> np.ndarray:
+    """HR ground truth for stability sims: a vertical knife edge."""
+    h, w = shape
+    xx = np.arange(w, dtype=np.float64)
+    row = np.where(xx < edge_col, hi, lo)
+    return np.broadcast_to(row, (h, w)).copy()
+
+
+@dataclasses.dataclass
+class SimConfig:
+    """Physical model parameters (defaults from the reference calibration:
+    ~0.9 px shift at 0.28 deg tilt -> gain ~3.2 px/deg; jitter sigma a few
+    1e-3 px when settled, see BASELINE.md rows 5-8)."""
+
+    gain_px_per_deg: float = 3.2
+    jitter_sigma_px: float = 0.005
+    unsettled_jitter_px: float = 0.15
+    settle_tau_ms: float = 8.0
+    psf_sigma_px: float = 1.0
+    psf_size: int = 7
+    read_noise: float = 0.8
+    shot_noise_scale: float = 0.02
+    base_exposure_us: float = 10000.0
+    color: bool = False
+    lr_shape: Tuple[int, int] = (1536, 2048)
+    factor: int = 2  # HR scene super-sampling vs the sensor grid
+    seed: int = 0
+
+
+class SimulatedRig:
+    """One shared physical state: mirror angles + trigger + clock."""
+
+    def __init__(self, scene: Optional[np.ndarray] = None,
+                 config: Optional[SimConfig] = None):
+        self.cfg = config or SimConfig()
+        h, w = self.cfg.lr_shape
+        if scene is None:
+            scene = pinhole_scene((h * self.cfg.factor, w * self.cfg.factor))
+        self.scene = np.asarray(scene, dtype=np.float32)
+        self.rng = np.random.default_rng(self.cfg.seed)
+        self.angles = (0.0, 0.0)
+        self.settled_ms = 1e9  # time since last move (starts settled)
+        self.pending_trigger = False
+        self._psf = make_gaussian_psf(self.cfg.psf_size, self.cfg.psf_sigma_px)
+
+    # -- time model: orchestrators call sleep() through the rig ------------
+    def sleep(self, seconds: float) -> None:
+        self.settled_ms += seconds * 1000.0
+
+    def shift_px(self) -> Tuple[float, float]:
+        """Current optical (dy, dx) in sensor px incl. settling jitter."""
+        ax, ay = self.angles
+        g = self.cfg.gain_px_per_deg
+        jitter = self.cfg.jitter_sigma_px + self.cfg.unsettled_jitter_px * \
+            np.exp(-self.settled_ms / self.cfg.settle_tau_ms)
+        dy = g * ay + self.rng.normal(0, jitter)
+        dx = g * ax + self.rng.normal(0, jitter)
+        return dy, dx
+
+    def render(self, exposure_us: float) -> np.ndarray:
+        """Render one sensor frame at the current mirror state."""
+        from ..sr.classical import _frame_operator_matrices, forward_model_mm
+        import jax.numpy as jnp
+
+        dy, dx = self.shift_px()
+        f = self.cfg.factor
+        # forward model expects LR-unit shifts; quantize the jittered shift
+        # onto a small grid so jit caching stays effective
+        q = 1.0 / 512.0
+        dy_l = round(dy / q) * q
+        dx_l = round(dx / q) * q
+        mats = _frame_operator_matrices(
+            self._psf, (dy_l, dx_l), f, self.cfg.lr_shape, "float32")
+        lr = np.asarray(forward_model_mm(jnp.asarray(self.scene), mats))
+
+        gain = exposure_us / self.cfg.base_exposure_us
+        lr = lr * gain
+        noise = self.rng.normal(0, self.cfg.read_noise, lr.shape) + \
+            self.rng.normal(0, 1.0, lr.shape) * np.sqrt(
+                np.maximum(lr, 0)) * self.cfg.shot_noise_scale
+        return np.clip(lr + noise, 0, 255).astype(np.uint8)
+
+
+class SimBeamSteering:
+    """``BeamSteering`` protocol backend over a :class:`SimulatedRig`."""
+
+    def __init__(self, rig: SimulatedRig):
+        self.rig = rig
+        self.trigger_configured = False
+
+    def set_angles(self, x_deg: float, y_deg: float) -> None:
+        self.rig.angles = (float(x_deg), float(y_deg))
+        self.rig.settled_ms = 0.0
+
+    def set_home(self) -> None:
+        self.set_angles(0.0, 0.0)
+
+    def setup_trigger_output(self) -> None:
+        self.trigger_configured = True
+
+    def send_trigger_pulse(self, width_us: float = 100.0) -> None:
+        if not self.trigger_configured:
+            raise RuntimeError("trigger output not configured "
+                               "(call setup_trigger_output first)")
+        self.rig.pending_trigger = True
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class SimCamera:
+    """``Camera`` protocol backend over a :class:`SimulatedRig`."""
+
+    def __init__(self, rig: SimulatedRig, hardware_trigger: bool = False,
+                 trigger_line: str = "line2"):
+        self.rig = rig
+        self.hardware_trigger = hardware_trigger
+        self.trigger_line = trigger_line
+        self.exposure = rig.cfg.base_exposure_us
+        self.gain = 0.0
+        self._closed = False
+
+    @property
+    def is_color(self) -> bool:
+        return self.rig.cfg.color
+
+    @property
+    def width(self) -> int:
+        return self.rig.cfg.lr_shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.rig.cfg.lr_shape[0]
+
+    def capture_raw(self) -> np.ndarray:
+        if self._closed:
+            raise RuntimeError("camera closed")
+        if self.hardware_trigger:
+            if not self.rig.pending_trigger:
+                raise TimeoutError(
+                    "hardware-trigger capture timed out: no GPIO pulse "
+                    "received since the last frame")
+            self.rig.pending_trigger = False
+        return self.rig.render(self.exposure)
+
+    def auto_exposure(self, target_peak: float = 200.0) -> float:
+        """One-shot auto exposure: scale so the frame peak hits the target
+        (reference ``daheng_camera.py:93-98``)."""
+        frame = self.rig.render(self.exposure).astype(np.float64)
+        peak = max(frame.max(), 1.0)
+        self.exposure = float(np.clip(
+            self.exposure * target_peak / peak, 10.0, 1e6))
+        return self.exposure
+
+    def stream_burst(self, n_frames: int, callback=None):
+        """Max-FPS burst (reference ``allied_vision_camera.py:90-115``)."""
+        frames, stamps = [], []
+        period_ms = max(self.exposure / 1000.0, 1.0)
+        for i in range(n_frames):
+            self.rig.sleep(period_ms / 1000.0)
+            frame = self.rig.render(self.exposure)
+            frames.append(frame)
+            stamps.append(i * period_ms)
+            if callback is not None:
+                callback(frame, stamps[-1])
+        return frames, stamps
+
+    def close(self) -> None:
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class SimStage:
+    """``Stage`` protocol backend: focus quality peaks at ``best_pos_mm``.
+
+    The rendered frame's blur grows with defocus, so the autofocus sweep's
+    Laplacian-variance metric reproduces the reference's focus curve
+    (``calibration_autofocus/data/autofocus_data.json``: best 369.23 mm).
+    """
+
+    def __init__(self, rig: SimulatedRig, best_pos_mm: float = 369.23,
+                 depth_of_focus_mm: float = 3.0,
+                 travel=(340.0, 400.0)):
+        self.rig = rig
+        self.best = best_pos_mm
+        self.dof = depth_of_focus_mm
+        self.travel = travel
+        self._pos = travel[0]
+        rig.defocus_blur_px = self._blur()
+
+    def _blur(self) -> float:
+        return abs(self._pos - self.best) / self.dof
+
+    def move_absolute(self, position_mm: float) -> None:
+        if not (self.travel[0] <= position_mm <= self.travel[1]):
+            raise ValueError(f"position {position_mm} outside soft limits "
+                             f"{self.travel}")
+        self._pos = float(position_mm)
+        # widen the rig PSF with defocus
+        sigma = np.sqrt(self.rig.cfg.psf_sigma_px ** 2 + self._blur() ** 2)
+        self.rig._psf = make_gaussian_psf(
+            max(self.rig.cfg.psf_size,
+                int(2 * np.ceil(3 * sigma) + 1)), sigma)
+
+    def get_position(self) -> float:
+        return self._pos
+
+    def home(self) -> None:
+        self.move_absolute(self.travel[0])

@@ -1,0 +1,179 @@
+"""1-D image operators as dense banded matrices for the MXU.
+
+Measured on the target TPU backend (see bench notes in the repo history):
+strided slices (`x[::2, ::2]`) and long unrolled tap-sums compile to
+pathological data-movement kernels, while dense matmuls run at a steady
+~15 TFLOP/s f32 on the MXU.  So the classical SR hot path encodes every
+1-D stage — PSF blur, cubic-spline prefilter, sub-pixel phase, decimation,
+zero-stuffing, and SciPy's exact boundary semantics — as entries of one
+(n_out, n_in) matrix per axis, built host-side in float64 at trace time and
+applied as ``M_row @ img @ M_col^T``.
+
+Boundary encoding: an extended-signal index is mapped to a source column by
+the same rules the conv path replicates from SciPy (mode 'nearest' ==
+12-sample edge pre-pad, then symmetric prefilter extension, see
+ops.resample docstring), so the matrix path is numerically identical to the
+validated conv path — same math, different execution strategy.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .resample import bspline_prefilter_kernel, cubic_bspline_weights
+
+
+def _ext_index(e: np.ndarray, n: int, mode: str) -> np.ndarray:
+    """Map extended-signal indices to source indices per SciPy semantics."""
+    e = np.asarray(e, dtype=np.int64)
+    if mode == "nearest":
+        npad = 12  # scipy _prepad_for_spline_filter
+        m = n + 2 * npad
+        ep = e + npad
+        ep = ep % (2 * m)
+        ep = np.where(ep >= m, 2 * m - 1 - ep, ep)  # symmetric beyond pre-pad
+        return np.clip(ep - npad, 0, n - 1)          # edge pre-pad region
+    if mode == "mirror":
+        if n == 1:
+            return np.zeros_like(e)
+        period = 2 * (n - 1)
+        ep = np.abs(e) % period
+        return np.where(ep >= n, period - ep, ep)
+    if mode == "reflect":
+        m = 2 * n
+        ep = e % m
+        return np.where(ep >= n, m - 1 - ep, ep)
+    if mode in ("wrap", "grid-wrap"):
+        return e % n
+    raise ValueError(f"unsupported mode {mode!r}")
+
+
+def _band_matrix(n_out: int, n_in: int, kernel: np.ndarray, offset: int,
+                 mode: Optional[str], stride: int = 1) -> np.ndarray:
+    """M[i, map(i*stride + offset + j)] += kernel[j].
+
+    ``mode=None`` means zero boundary (taps falling outside are dropped) —
+    fftconvolve-'same' semantics.
+    """
+    m = np.zeros((n_out, n_in), dtype=np.float64)
+    rows = np.arange(n_out, dtype=np.int64)
+    for j, kj in enumerate(np.asarray(kernel, dtype=np.float64)):
+        if kj == 0.0:
+            continue
+        e = rows * stride + offset + j
+        if mode is None:
+            ok = (e >= 0) & (e < n_in)
+            np.add.at(m, (rows[ok], e[ok]), kj)
+        else:
+            np.add.at(m, (rows, _ext_index(e, n_in, mode)), kj)
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def shift_op_matrix(n_in: int, delta: float, mode: str = "nearest",
+                    stride: int = 1, n_out: Optional[int] = None,
+                    blur_taps: Optional[Tuple[float, ...]] = None,
+                    blur_first: bool = True,
+                    dtype_name: str = "float32") -> np.ndarray:
+    """Matrix for ``decimate(shift(blur(x)))`` (or blur-last) along one axis.
+
+    * shift: ``out[i] = spline(x)(i - delta)``, order-3, SciPy 'nearest'
+      boundary (reference ``ndi_shift`` semantics).
+    * blur_taps: optional correlation taps (odd length, centre-anchored)
+      applied with zero boundary (fftconvolve-'same' semantics), before the
+      shift (forward model) or after it (back-projection).
+    * stride: output decimation (forward model's ``[::f]``).
+    """
+    h = bspline_prefilter_kernel(dtype_name)
+    hw = (len(h) - 1) // 2
+    s = -float(delta)
+    mfloor = math.floor(s)
+    w = cubic_bspline_weights(np.float64(s - mfloor))
+    g = np.convolve(h, w)
+    offset = (mfloor - 1) - hw
+
+    n_out = n_out if n_out is not None else (n_in - 1) // stride + 1
+    if blur_taps is None:
+        return _band_matrix(n_out, n_in, g, offset, mode, stride).astype(
+            np.dtype(dtype_name))
+
+    taps = np.asarray(blur_taps, dtype=np.float64)
+    bhw = (len(taps) - 1) // 2
+    if blur_first:
+        # shift matrix maps blurred -> out; blur matrix maps in -> blurred
+        m_shift = _band_matrix(n_out, n_in, g, offset, mode, stride)
+        m_blur = _band_matrix(n_in, n_in, taps, -bhw, None)
+        m = m_shift @ m_blur
+    else:
+        m_blur = _band_matrix(n_out, n_out, taps, -bhw, None)
+        m_shift = _band_matrix(n_out, n_in, g, offset, mode, stride)
+        m = m_blur @ m_shift
+    return m.astype(np.dtype(dtype_name))
+
+
+@functools.lru_cache(maxsize=None)
+def stuff_shift_op_matrix(n_lr: int, factor: int, delta: float,
+                          mode: str = "nearest",
+                          blur_taps: Optional[Tuple[float, ...]] = None,
+                          dtype_name: str = "float32") -> np.ndarray:
+    """Matrix for back-projection along one axis:
+    ``blur(shift(zero_stuff(err)))`` (reference
+    ``mono_barcodes/run_sr.py:199-209``): (n_lr*factor, n_lr)."""
+    n_hr = n_lr * factor
+    # shift matrix on the HR grid (n_hr x n_hr), then keep only the
+    # zero-stuffed source columns (every factor-th).
+    m_shift = shift_op_matrix(n_hr, delta, mode=mode, blur_taps=blur_taps,
+                              blur_first=False, dtype_name="float64")
+    m = m_shift[:, ::factor]
+    return m.astype(np.dtype(dtype_name))
+
+
+@functools.lru_cache(maxsize=None)
+def zoom_op_matrix(n_in: int, factor: float, mode: str = "mirror",
+                   dtype_name: str = "float32") -> np.ndarray:
+    """Single matrix for SciPy ``ndimage.zoom(order=3)`` along one axis:
+    cubic sampling on the endpoint-aligned grid composed with the spline
+    prefilter (boundary-exact, see ops.resample.spline_zoom)."""
+    from .resample import _sampling_matrix, zoom_coords
+
+    n_out, coords = zoom_coords(n_in, factor)
+    m_sample = _sampling_matrix(n_in, tuple(coords), mode, "float64")
+    h = bspline_prefilter_kernel("float64")
+    hw = (len(h) - 1) // 2
+    m_pref = _band_matrix(n_in, n_in, h, -hw, mode)
+    return (m_sample @ m_pref).astype(np.dtype(dtype_name))
+
+
+def psf_separable_factors(psf: np.ndarray, rel_tol: float = 1e-6):
+    """SVD factorization of a 2-D PSF into separable rank-1 terms.
+
+    Returns (rows[R, kh], cols[R, kw]) such that
+    ``psf ≈ sum_k outer(rows[k], cols[k])`` with truncation below
+    ``rel_tol`` of the leading singular value (a Gaussian PSF is exactly
+    rank 1; measured 7x7 pinhole PSFs need 2-3 terms at f32 precision).
+    """
+    psf = np.asarray(psf, dtype=np.float64)
+    u, sv, vt = np.linalg.svd(psf)
+    keep = sv > sv[0] * rel_tol
+    r = int(keep.sum())
+    rows = (u[:, :r] * np.sqrt(sv[:r])).T
+    cols = (vt[:r, :].T * np.sqrt(sv[:r])).T
+    return rows, cols
+
+
+def apply_row(m, x):
+    """(n_out, H) @ (..., H, W) along the row axis."""
+    return jnp.einsum("oh,...hw->...ow", jnp.asarray(m, x.dtype), x,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def apply_col(m, x):
+    """(..., H, W) x (n_out, W)^T along the column axis."""
+    return jnp.einsum("...hw,ow->...ho", x, jnp.asarray(m, x.dtype),
+                      precision=jax.lax.Precision.HIGHEST)

@@ -241,8 +241,9 @@ def fit_gaussian_psf(psf):
         return None, None
     h, w = psf.shape
     yy, xx = np.mgrid[:h, :w]
-    fit = np.asarray(gauss2d_model(jnp.asarray(params), jnp.asarray(xx, jnp.float64),
-                                   jnp.asarray(yy, jnp.float64)))
+    dt = jnp.zeros(0).dtype if not jax.config.jax_enable_x64 else jnp.float64
+    fit = np.asarray(gauss2d_model(jnp.asarray(params, dt),
+                                   jnp.asarray(xx, dt), jnp.asarray(yy, dt)))
     return params, fit
 
 

@@ -36,6 +36,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import conv2d_same, correlate2d_same, spline_shift, spline_zoom
+from ..ops.opmatrix import (
+    apply_col,
+    apply_row,
+    psf_separable_factors,
+    shift_op_matrix,
+    stuff_shift_op_matrix,
+    zoom_op_matrix,
+)
 
 # Constants shared by all four reference workloads
 # (``mono_barcodes/run_sr.py:60-67``).
@@ -106,6 +114,81 @@ def native_upsample(lr_mean, factor: int = UPSAMPLE_FACTOR):
     return spline_zoom(lr_mean, factor)
 
 
+# ---------------------------------------------------------------------------
+# MXU (banded-matmul) execution path — numerically identical to the conv
+# path above, but every 1-D stage is a dense banded matrix so the whole
+# iteration runs as large matmuls.  Measured on the target TPU backend,
+# strided slices and long tap-sums compile pathologically (see
+# ops/opmatrix.py), making this the fast path for the IBP hot loop.
+# ---------------------------------------------------------------------------
+
+
+def _frame_operator_matrices(psf, shift_yx, factor: int, lr_shape, dtype_name):
+    """(fwd_row, fwd_col, bwd_row, bwd_col) lists over PSF rank terms.
+
+    Forward: sim = sum_k R_k @ HR @ C_k^T  ==  decimate(shift(conv2d(HR))).
+    Backward: corr = sum_k Br_k @ ERR @ Bc_k^T
+              ==  correlate2d(shift^{-1}(zero_stuff(ERR)), psf).
+    The PSF enters via its SVD separable factors (rank 1 for Gaussian).
+    """
+    h_lr, w_lr = lr_shape
+    dy, dx = float(shift_yx[0]), float(shift_yx[1])
+    rows_u, cols_v = psf_separable_factors(psf)
+    fwd_r, fwd_c, bwd_r, bwd_c = [], [], [], []
+    for u, v in zip(rows_u, cols_v):
+        # forward blur is a true convolution -> correlation taps = flipped
+        fwd_r.append(shift_op_matrix(
+            h_lr * factor, dy * factor, stride=factor, n_out=h_lr,
+            blur_taps=tuple(u[::-1]), blur_first=True, dtype_name=dtype_name))
+        fwd_c.append(shift_op_matrix(
+            w_lr * factor, dx * factor, stride=factor, n_out=w_lr,
+            blur_taps=tuple(v[::-1]), blur_first=True, dtype_name=dtype_name))
+        # back-projection correlates with the PSF -> taps unflipped
+        bwd_r.append(stuff_shift_op_matrix(
+            h_lr, factor, -dy * factor, blur_taps=tuple(u),
+            dtype_name=dtype_name))
+        bwd_c.append(stuff_shift_op_matrix(
+            w_lr, factor, -dx * factor, blur_taps=tuple(v),
+            dtype_name=dtype_name))
+    return fwd_r, fwd_c, bwd_r, bwd_c
+
+
+def forward_model_mm(hr, mats):
+    fwd_r, fwd_c, _, _ = mats
+    sim = None
+    for r, c in zip(fwd_r, fwd_c):
+        term = apply_col(c, apply_row(r, hr))
+        sim = term if sim is None else sim + term
+    return sim
+
+
+def back_project_mm(err, mats):
+    _, _, bwd_r, bwd_c = mats
+    out = None
+    for r, c in zip(bwd_r, bwd_c):
+        term = apply_col(c, apply_row(r, err))
+        out = term if out is None else out + term
+    return out
+
+
+def shift_and_add_mm(lr_stack, shifts_yx, factor: int, dtype_name: str):
+    """SAA on the MXU: one zoom matrix pair + per-frame shift matrices."""
+    h_lr, w_lr = lr_stack.shape[-2], lr_stack.shape[-1]
+    mz_r = zoom_op_matrix(h_lr, factor, dtype_name=dtype_name)
+    mz_c = zoom_op_matrix(w_lr, factor, dtype_name=dtype_name)
+    up = apply_col(mz_c, apply_row(mz_r, lr_stack))
+    acc = None
+    for i in range(lr_stack.shape[0]):
+        dy, dx = shifts_yx[i]
+        ms_r = shift_op_matrix(h_lr * factor, dy * factor,
+                               dtype_name=dtype_name)
+        ms_c = shift_op_matrix(w_lr * factor, dx * factor,
+                               dtype_name=dtype_name)
+        term = apply_col(ms_c, apply_row(ms_r, up[i]))
+        acc = term if acc is None else acc + term
+    return acc / lr_stack.shape[0]
+
+
 def ibp_step(hr, lr_stack, shifts_yx, psf, factor: int, step: float,
              clip=(0.0, 255.0)):
     """One IBP update over all frames; returns (new_hr, mean MSE)."""
@@ -139,25 +222,96 @@ def ibp(lr_stack, shifts_yx, psf, hr_init, factor: int = UPSAMPLE_FACTOR,
     return jax.lax.fori_loop(0, n_iter, body, (hr_init, errs0))
 
 
+def ibp_mm(lr_stack, shifts_yx, psf, hr_init, factor: int = UPSAMPLE_FACTOR,
+           n_iter: int = 80, step: float = IBP_STEP_SIZE,
+           clip=(0.0, 255.0)):
+    """IBP on the MXU path; same semantics as :func:`ibp`."""
+    n = lr_stack.shape[0]
+    dtype_name = str(lr_stack.dtype)
+    lr_shape = lr_stack.shape[-2:]
+    mats = [_frame_operator_matrices(psf, shifts_yx[i], factor, lr_shape,
+                                     dtype_name) for i in range(n)]
+
+    def body(it, carry):
+        hr, errs = carry
+        correction = jnp.zeros_like(hr)
+        total_err = jnp.asarray(0.0, dtype=hr.dtype)
+        for i in range(n):
+            sim = forward_model_mm(hr, mats[i])
+            err = lr_stack[i] - sim
+            total_err = total_err + jnp.mean(err * err)
+            correction = correction + back_project_mm(err, mats[i])
+        hr = jnp.clip(hr + step * correction / n, clip[0], clip[1])
+        return hr, errs.at[it].set(total_err / n)
+
+    errs0 = jnp.zeros((n_iter,), dtype=hr_init.dtype)
+    return jax.lax.fori_loop(0, n_iter, body, (hr_init, errs0))
+
+
+def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name):
+    """All operator matrices for one solve config, as a device pytree.
+
+    Passed as jit *arguments*, not baked constants: ~0.5 GB of banded
+    matrices embedded in the HLO blows past compile-payload limits (and
+    bloats the executable); as arguments they upload once and live in HBM.
+    """
+    h_lr, w_lr = lr_shape
+    mats = {
+        "zoom_r": zoom_op_matrix(h_lr, factor, dtype_name=dtype_name),
+        "zoom_c": zoom_op_matrix(w_lr, factor, dtype_name=dtype_name),
+        "saa": [(shift_op_matrix(h_lr * factor, dy * factor,
+                                 dtype_name=dtype_name),
+                 shift_op_matrix(w_lr * factor, dx * factor,
+                                 dtype_name=dtype_name))
+                for dy, dx in shifts_yx],
+        "frames": [tuple(list(m) for m in _frame_operator_matrices(
+            psf, s, factor, lr_shape, dtype_name)) for s in shifts_yx],
+    }
+    return jax.device_put(mats)
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
-                    n_iter, step, clip_max):
-    """Jitted full-session solver, cached per (psf, shifts, config).
-
-    The PSF and shifts are trace-time constants: PSF taps bake into the
-    fused tap-sum kernels (see ops.conv) and shifts into the spline-phase
-    kernels, so XLA sees one flat constant-coefficient dataflow graph.
-    """
+                    n_iter, step, clip_max, engine, lr_shape, dtype_name):
+    """Jitted full-session solver + its device-resident operator matrices,
+    cached per (psf, shifts, shape, config)."""
     psf = np.frombuffer(psf_bytes, dtype=psf_dtype).reshape(psf_shape)
     clip = (0.0, clip_max)
+    n = len(shifts_yx)
+    mats = _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name) \
+        if engine == "mm" else None
 
     @jax.jit
-    def run(lr_stack):
+    def run(lr_stack, mats):
         lr_mean = jnp.mean(lr_stack, axis=0)
-        native = native_upsample(lr_mean, factor)
-        saa = shift_and_add(lr_stack, shifts_yx, factor)
-        hr, errs = ibp(lr_stack, shifts_yx, psf, saa, factor, n_iter, step,
-                       clip)
+        if engine == "mm":
+            native = apply_col(mats["zoom_c"], apply_row(mats["zoom_r"],
+                                                         lr_mean))
+            up = apply_col(mats["zoom_c"], apply_row(mats["zoom_r"],
+                                                     lr_stack))
+            saa = sum(apply_col(c, apply_row(r, up[i]))
+                      for i, (r, c) in enumerate(mats["saa"])) / n
+
+            def body(it, carry):
+                hr, errs = carry
+                correction = jnp.zeros_like(hr)
+                total_err = jnp.asarray(0.0, dtype=hr.dtype)
+                for i in range(n):
+                    sim = forward_model_mm(hr, mats["frames"][i])
+                    err = lr_stack[i] - sim
+                    total_err = total_err + jnp.mean(err * err)
+                    correction = correction + back_project_mm(
+                        err, mats["frames"][i])
+                hr = jnp.clip(hr + step * correction / n, clip[0], clip[1])
+                return hr, errs.at[it].set(total_err / n)
+
+            errs0 = jnp.zeros((n_iter,), dtype=saa.dtype)
+            hr, errs = jax.lax.fori_loop(0, n_iter, body, (saa, errs0))
+        else:
+            native = native_upsample(lr_mean, factor)
+            saa = shift_and_add(lr_stack, shifts_yx, factor)
+            hr, errs = ibp(lr_stack, shifts_yx, psf, saa, factor, n_iter,
+                           step, clip)
         return {
             "lr_mean": lr_mean,
             "native": native,
@@ -166,12 +320,12 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
             "mse_history": errs,
         }
 
-    return run
+    return run, mats
 
 
 def solve(lr_stack, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
           n_iter: int = 80, step: float = IBP_STEP_SIZE,
-          clip_max: float = 255.0):
+          clip_max: float = 255.0, engine: str = "mm"):
     """Full classical SR solve in ONE compiled graph.
 
     Computes everything a reference ``process_session`` rep computes
@@ -183,15 +337,20 @@ def solve(lr_stack, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
       lr_stack: ``f32[N, h, w]`` registered LR frames (jax or numpy).
       psf: ``(k, k)`` numpy blur kernel (static; baked into the graph).
       shifts_yx: static tuple of N (dy, dx) tuples, LR pixels.
+      engine: 'mm' (banded-matmul MXU path, default) or 'conv' (fused
+        tap-sum path); both are scipy-parity, see tests.
 
     Returns dict of ``lr_mean, native, saa, ibp, mse_history``.
     """
     psf = np.asarray(psf, dtype=np.float64)
     shifts_key = tuple((float(dy), float(dx)) for dy, dx in shifts_yx)
-    fn = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype), shifts_key,
-                         int(factor), int(n_iter), float(step),
-                         float(clip_max))
-    return fn(lr_stack)
+    lr_shape = tuple(int(v) for v in lr_stack.shape[-2:])
+    dtype_name = str(jnp.asarray(lr_stack).dtype)
+    fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
+                               shifts_key, int(factor), int(n_iter),
+                               float(step), float(clip_max), engine,
+                               lr_shape, dtype_name)
+    return fn(lr_stack, mats)
 
 
 def to_uint8(img) -> np.ndarray:

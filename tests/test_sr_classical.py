@@ -121,6 +121,78 @@ def test_ibp_matches_oracle_few_iters():
 
 
 # --------------------------------------------------------------------------
+# MXU (banded-matmul) engine: must match the conv engine / scipy oracle
+# --------------------------------------------------------------------------
+
+
+def test_forward_model_mm_matches_oracle():
+    from enph459_super_resolution_tpu.sr.classical import (
+        _frame_operator_matrices, forward_model_mm,
+    )
+    psf = make_gaussian_psf()
+    hr = make_scene(64, 80)
+    for s in SHIFTS[:2]:
+        mats = _frame_operator_matrices(psf, s, 2, (32, 40), "float64")
+        got = np.asarray(forward_model_mm(jnp.asarray(hr, jnp.float64), mats))
+        want = np_forward(hr, psf, s, 2)
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_back_project_mm_matches_oracle():
+    from enph459_super_resolution_tpu.sr.classical import (
+        _frame_operator_matrices, back_project_mm,
+    )
+    psf = make_gaussian_psf()
+    err = make_scene(32, 40) - 128.0
+    mats = _frame_operator_matrices(psf, SHIFTS[1], 2, (32, 40), "float64")
+    got = np.asarray(back_project_mm(jnp.asarray(err, jnp.float64), mats))
+    want = np_back(err, psf, SHIFTS[1], 2, (64, 80))
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_mm_engine_matches_conv_engine_and_oracle():
+    """solve(engine='mm') == solve(engine='conv') == scipy oracle."""
+    psf = make_gaussian_psf()
+    hr_true = make_scene(64, 80)
+    lrs = np.stack([np_forward(hr_true, psf, s, 2) for s in SHIFTS])
+    dev = jnp.asarray(lrs, jnp.float32)
+
+    out_mm = solve(dev, psf, SHIFTS, n_iter=5)
+    out_cv = solve(dev, psf, SHIFTS, n_iter=5, engine="conv")
+    for k in ("native", "saa", "ibp"):
+        np.testing.assert_allclose(np.asarray(out_mm[k]),
+                                   np.asarray(out_cv[k]), atol=2e-3 * 255)
+
+    hr0 = np_saa(list(lrs), SHIFTS, 2)
+    want_hr, want_errs = np_ibp(list(lrs), SHIFTS, psf, hr0, 2, 5, 0.5)
+    np.testing.assert_allclose(np.asarray(out_mm["ibp"]), want_hr,
+                               atol=2e-3 * 255)
+    np.testing.assert_allclose(np.asarray(out_mm["mse_history"]), want_errs,
+                               rtol=3e-3)
+
+
+def test_measured_psf_rank_deficient_separable():
+    """Non-separable PSFs route through the SVD rank expansion exactly."""
+    from enph459_super_resolution_tpu.ops.opmatrix import psf_separable_factors
+    from enph459_super_resolution_tpu.sr.classical import (
+        _frame_operator_matrices, forward_model_mm,
+    )
+    rng = np.random.default_rng(3)
+    psf = make_gaussian_psf() + 0.02 * rng.uniform(size=(7, 7))
+    psf /= psf.sum()
+    rows, cols = psf_separable_factors(psf)
+    assert rows.shape[0] > 1  # genuinely non-separable
+    recon = sum(np.outer(r, c) for r, c in zip(rows, cols))
+    np.testing.assert_allclose(recon, psf, atol=1e-12)
+
+    hr = make_scene(48, 56)
+    mats = _frame_operator_matrices(psf, SHIFTS[0], 2, (24, 28), "float64")
+    got = np.asarray(forward_model_mm(jnp.asarray(hr, jnp.float64), mats))
+    want = np_forward(hr, psf, SHIFTS[0], 2)
+    np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+# --------------------------------------------------------------------------
 # synthetic ground truth: SR must actually super-resolve
 # --------------------------------------------------------------------------
 
