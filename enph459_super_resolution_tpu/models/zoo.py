@@ -31,15 +31,16 @@ class SRCNN(nn.Module):
     channels: int = 1
     f1: int = 64
     f2: int = 32
+    rgb_range: float = 255.0  # inputs are 0..range; net runs on 0..1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = x.astype(self.dtype)
+        x = (x / self.rgb_range).astype(self.dtype)
         x = nn.relu(nn.Conv(self.f1, (9, 9), dtype=self.dtype)(x))
         x = nn.relu(nn.Conv(self.f2, (5, 5), dtype=self.dtype)(x))
         x = nn.Conv(self.channels, (5, 5), dtype=self.dtype)(x)
-        return x.astype(jnp.float32)
+        return x.astype(jnp.float32) * self.rgb_range
 
 
 class ESPCN(nn.Module):
@@ -48,16 +49,18 @@ class ESPCN(nn.Module):
 
     scale: int = 4
     channels: int = 1
+    rgb_range: float = 255.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = x.astype(self.dtype)
+        x = (x / self.rgb_range).astype(self.dtype)
         x = nn.tanh(nn.Conv(64, (5, 5), dtype=self.dtype)(x))
         x = nn.tanh(nn.Conv(32, (3, 3), dtype=self.dtype)(x))
         x = nn.Conv(self.channels * self.scale ** 2, (3, 3),
                     dtype=self.dtype)(x)
-        return pixel_shuffle(x, self.scale).astype(jnp.float32)
+        return pixel_shuffle(x, self.scale).astype(jnp.float32) * \
+            self.rgb_range
 
 
 class FSRCNN(nn.Module):
@@ -75,11 +78,12 @@ class FSRCNN(nn.Module):
     d: int = 56
     s: int = 12
     m: int = 4
+    rgb_range: float = 255.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = x.astype(self.dtype)
+        x = (x / self.rgb_range).astype(self.dtype)
         prelu = functools.partial(nn.PReLU, param_dtype=jnp.float32)
         x = nn.Conv(self.d, (5, 5), dtype=self.dtype)(x)
         x = prelu()(x)
@@ -92,7 +96,8 @@ class FSRCNN(nn.Module):
         x = prelu()(x)
         x = nn.Conv(self.channels * self.scale ** 2, (9, 9),
                     dtype=self.dtype)(x)
-        return pixel_shuffle(x, self.scale).astype(jnp.float32)
+        return pixel_shuffle(x, self.scale).astype(jnp.float32) * \
+            self.rgb_range
 
 
 class EDSR(nn.Module):
@@ -168,12 +173,13 @@ class RRDBNet(nn.Module):
     nf: int = 64
     nb: int = 23
     gc: int = 32
+    rgb_range: float = 255.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         lrelu = functools.partial(nn.leaky_relu, negative_slope=0.2)
-        x = x.astype(self.dtype)
+        x = (x / self.rgb_range).astype(self.dtype)
         fea = nn.Conv(self.nf, (3, 3), dtype=self.dtype)(x)
         trunk = fea
         for _ in range(self.nb):
@@ -188,7 +194,7 @@ class RRDBNet(nn.Module):
             fea = lrelu(nn.Conv(self.nf, (3, 3), dtype=self.dtype)(fea))
         fea = lrelu(nn.Conv(self.nf, (3, 3), dtype=self.dtype)(fea))
         out = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(fea)
-        return out.astype(jnp.float32)
+        return out.astype(jnp.float32) * self.rgb_range
 
 
 class VGGStyleDiscriminator(nn.Module):
@@ -201,10 +207,12 @@ class VGGStyleDiscriminator(nn.Module):
     nf: int = 64
     dtype: Any = jnp.float32
 
+    rgb_range: float = 255.0
+
     @nn.compact
     def __call__(self, x):
         lrelu = functools.partial(nn.leaky_relu, negative_slope=0.2)
-        x = x.astype(self.dtype)
+        x = (x / self.rgb_range).astype(self.dtype)
         feats = [self.nf, self.nf, self.nf * 2, self.nf * 2, self.nf * 4,
                  self.nf * 4, self.nf * 8, self.nf * 8]
         for i, f in enumerate(feats):

@@ -1,0 +1,103 @@
+"""Keys-cubic image resize with antialiasing (MATLAB ``imresize`` protocol).
+
+The SR literature's bicubic degradation (Set5/Set14/DIV2K "LR = bicubic(HR,
+1/s)") is MATLAB imresize semantics: Keys cubic kernel (a = -0.5), kernel
+*widened by the scale factor* when downsampling (antialiasing), symmetric
+edge handling, weights renormalized per output pixel.  This differs from
+scipy's spline zoom (ops.resample.spline_zoom) — both are provided; this
+one defines the neural-SR data pipeline and eval protocol.
+
+Implementation: banded matrices applied as MXU matmuls (see ops.opmatrix
+for why that is the fast primitive on this hardware).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _keys_cubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    return np.where(
+        ax <= 1, (a + 2) * ax3 - (a + 3) * ax2 + 1,
+        np.where(ax < 2, a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a, 0.0))
+
+
+@functools.lru_cache(maxsize=None)
+def resize_matrix(n_in: int, n_out: int, antialias: bool = True,
+                  dtype_name: str = "float32") -> np.ndarray:
+    """(n_out, n_in) MATLAB-imresize-compatible cubic resize matrix."""
+    scale = n_out / n_in
+    # output pixel centres mapped to input coordinates (pixel-centre grid)
+    u = (np.arange(n_out, dtype=np.float64) + 0.5) / scale - 0.5
+    if scale < 1.0 and antialias:
+        kwidth = 4.0 / scale
+        kscale = scale
+    else:
+        kwidth = 4.0
+        kscale = 1.0
+    left = np.floor(u - kwidth / 2).astype(np.int64)
+    p = int(math.ceil(kwidth)) + 2
+    idx = left[:, None] + np.arange(p)[None, :]
+    w = _keys_cubic((u[:, None] - idx) * kscale) * kscale
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    # symmetric edge handling
+    idx_c = np.clip(idx, 0, n_in - 1)
+    m = 2 * n_in
+    idx_r = idx % m
+    idx_r = np.where(idx_r < 0, idx_r + m, idx_r)
+    idx_r = np.where(idx_r >= n_in, m - 1 - idx_r, idx_r)
+    del idx_c
+    mtx = np.zeros((n_out, n_in), dtype=np.float64)
+    rows = np.repeat(np.arange(n_out), p)
+    np.add.at(mtx, (rows, idx_r.ravel()), w.ravel())
+    return mtx.astype(np.dtype(dtype_name))
+
+
+def resize(img, out_shape, antialias: bool = True):
+    """Cubic resize of the trailing-2 spatial axes of (..., H, W[, C]).
+
+    NHWC-aware: a trailing channel axis of size 1/3/4 is preserved.
+    """
+    has_c = img.ndim >= 3 and img.shape[-1] in (1, 3, 4)
+    h_ax = img.ndim - (3 if has_c else 2)
+    w_ax = h_ax + 1
+    h_out, w_out = out_shape
+    dtype_name = str(img.dtype)
+    mr = jnp.asarray(resize_matrix(img.shape[h_ax], h_out, antialias,
+                                   dtype_name), img.dtype)
+    mc = jnp.asarray(resize_matrix(img.shape[w_ax], w_out, antialias,
+                                   dtype_name), img.dtype)
+    img = jnp.moveaxis(img, (h_ax, w_ax), (-2, -1)) if has_c else img
+    out = jnp.einsum("oh,...hw->...ow", mr, img,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("...hw,ow->...ho", out, mc,
+                     precision=jax.lax.Precision.HIGHEST)
+    if has_c:
+        out = jnp.moveaxis(out, (-2, -1), (h_ax, w_ax))
+    return out
+
+
+def bicubic_degrade(hr, scale: int, antialias: bool = True):
+    """HR -> LR by 1/scale cubic downsampling (the SR-paper protocol)."""
+    has_c = hr.ndim >= 3 and hr.shape[-1] in (1, 3, 4)
+    h_ax = hr.ndim - (3 if has_c else 2)
+    h, w = hr.shape[h_ax], hr.shape[h_ax + 1]
+    if h % scale or w % scale:
+        raise ValueError(f"HR dims ({h},{w}) not divisible by scale {scale}")
+    return resize(hr, (h // scale, w // scale), antialias)
+
+
+def bicubic_upsample(lr, scale: int):
+    """LR -> HR cubic upsampling (no antialias on upsample)."""
+    has_c = lr.ndim >= 3 and lr.shape[-1] in (1, 3, 4)
+    h_ax = lr.ndim - (3 if has_c else 2)
+    h, w = lr.shape[h_ax], lr.shape[h_ax + 1]
+    return resize(lr, (h * scale, w * scale))

@@ -31,6 +31,9 @@ class WorkloadConfig:
     psf_sigma: float = PSF_SIGMA
     ibp_iterations: int = 80
     ibp_step: float = IBP_STEP_SIZE
+    # Bayer workloads name the LR mean 'LR_red_mean.png'
+    # (``rgb_cal_target/run_sr.py:323``).
+    lr_mean_name: str = "LR_mean.png"
 
     def load(self, session_dir: str) -> List[S.SessionData]:
         if self.layout == "center_shift":
@@ -48,12 +51,13 @@ WORKLOADS = {
     # rgb_cal_target/run_sr.py:56-60,88-113
     "rgb_cal_target": WorkloadConfig(
         name="rgb_cal_target", layout="corner_rep", bayer_red=True,
-        average_reps=True, use_metadata_shifts=True, ibp_iterations=50),
+        average_reps=True, use_metadata_shifts=True, ibp_iterations=50,
+        lr_mean_name="LR_red_mean.png"),
     # mono_barcodes/run_sr.py:60-77
     "mono_barcodes": WorkloadConfig(
         name="mono_barcodes", layout="corner_rep", ibp_iterations=80),
     # rgb_barcodes/run_sr.py:68-84
     "rgb_barcodes": WorkloadConfig(
         name="rgb_barcodes", layout="corner_rep", bayer_red=True,
-        ibp_iterations=80),
+        ibp_iterations=80, lr_mean_name="LR_red_mean.png"),
 }

@@ -111,9 +111,12 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
         for name, img in hr_images.items():
             save_png(img, os.path.join(out_dir, f"{name_map[name]}.png"))
         save_png(to_uint8(result["lr_mean"]),
-                 os.path.join(out_dir, "LR_mean.png"))
+                 os.path.join(out_dir, cfg.lr_mean_name))
         with open(os.path.join(out_dir, "shifts.json"), "w") as fp:
-            json.dump({"shifts_lr_yx": [list(s) for s in session.shifts]}, fp,
+            json.dump({"shifts_lr_yx": [list(s) for s in session.shifts],
+                       "corner_labels": None if session.rep is None and
+                       cfg.layout == "center_shift" else
+                       ["(-x,+y)", "(+x,+y)", "(-x,-y)", "(+x,-y)"]}, fp,
                       indent=2)
 
     if figures:

@@ -1,0 +1,196 @@
+"""Neural-SR data pipeline: on-device degradation, patch sampling, eval sets.
+
+BASELINE.json north star: "the patch-extraction + bicubic-degradation data
+loader becomes a fused on-device preprocessing path (decode, crop,
+downsample, normalize in one XLA graph)".  Host work = PNG decode into a
+pinned pool only; everything after (crop gather, augmentation, Keys-cubic
+degradation) is one jitted function over the batch.
+
+With no DIV2K/Set5 on disk, :func:`synthetic_scene_pool` procedurally
+generates band-limited scenes with edges/texture so training and the eval
+harness run hermetically; point ``image_pool_from_dir`` at a dataset
+directory when one is available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import bicubic_degrade
+
+
+# ---------------------------------------------------------------------------
+# image pools (host)
+# ---------------------------------------------------------------------------
+
+def image_pool_from_dir(path: str, max_images: Optional[int] = None,
+                        channels: int = 3) -> List[np.ndarray]:
+    """Decode a directory of images to float32 HWC arrays (0..255)."""
+    from ..data.io import load_image
+
+    exts = (".png", ".jpg", ".jpeg", ".bmp")
+    files = sorted(f for f in os.listdir(path)
+                   if f.lower().endswith(exts))
+    if max_images:
+        files = files[:max_images]
+    pool = []
+    for f in files:
+        img = load_image(os.path.join(path, f))
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[-1] == 1 and channels == 3:
+            img = np.repeat(img, 3, axis=-1)
+        if img.shape[-1] >= 3 and channels == 1:
+            img = img[:, :, :3].mean(-1, keepdims=True)
+        pool.append(img[:, :, :channels].astype(np.float32))
+    if not pool:
+        raise FileNotFoundError(f"no images in {path}")
+    return pool
+
+
+def synthetic_scene_pool(n_images: int = 32, size: int = 192,
+                         channels: int = 3, seed: int = 0
+                         ) -> List[np.ndarray]:
+    """Procedural scenes: band-limited noise + random boxes/bars/gradients,
+    so models have edges and texture to learn (hermetic stand-in for
+    DIV2K)."""
+    import scipy.ndimage as ndi
+
+    rng = np.random.default_rng(seed)
+    pool = []
+    for _ in range(n_images):
+        img = ndi.gaussian_filter(
+            rng.uniform(0, 255, (size, size, channels)), (3.0, 3.0, 0))
+        img = (img - img.min()) / max(np.ptp(img), 1e-9) * 200 + 20
+        for _ in range(rng.integers(4, 10)):
+            y, x = rng.integers(0, size - 24, 2)
+            h, w = rng.integers(6, 24, 2)
+            img[y:y + h, x:x + w] = rng.uniform(0, 255, (1, 1, channels))
+        # a few thin bars (barcode-ish high-frequency content)
+        for _ in range(rng.integers(2, 5)):
+            x = int(rng.integers(0, size - 20))
+            period = int(rng.integers(2, 6))
+            v = rng.uniform(150, 255)
+            for k in range(0, 18, period):
+                img[:, x + k: x + k + max(period // 2, 1)] = v
+        pool.append(img.astype(np.float32))
+    return pool
+
+
+# ---------------------------------------------------------------------------
+# on-device patch batches
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PatchConfig:
+    scale: int = 4
+    lr_patch: int = 48  # LR patch size; HR patch = lr_patch * scale
+    batch: int = 16
+    augment: bool = True
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "augment"))
+def _degrade_batch(hr, rng_key, scale: int, augment: bool):
+    """HR patches (B, H, W, C) -> (lr, hr): flips/rot90 + Keys degradation,
+    all on device in one graph."""
+    if augment:
+        kf, kr = jax.random.split(rng_key)
+        flips = jax.random.bernoulli(kf, shape=(hr.shape[0], 2))
+        rots = jax.random.bernoulli(kr, shape=(hr.shape[0],))
+        hr = jnp.where(flips[:, 0, None, None, None],
+                       jnp.flip(hr, axis=1), hr)
+        hr = jnp.where(flips[:, 1, None, None, None],
+                       jnp.flip(hr, axis=2), hr)
+        hr = jnp.where(rots[:, None, None, None],
+                       jnp.rot90(hr, axes=(1, 2)), hr)
+    lr = bicubic_degrade(hr, scale)
+    return lr, hr
+
+
+class PatchSampler:
+    """Random HR crops from the pool -> on-device (lr, hr) batches.
+
+    Host side only gathers crop views (cheap numpy slicing); augmentation +
+    degradation run jitted on device.
+    """
+
+    def __init__(self, pool: List[np.ndarray], cfg: PatchConfig,
+                 seed: int = 0):
+        self.pool = pool
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+        hr_patch = cfg.lr_patch * cfg.scale
+        for i, img in enumerate(pool):
+            if img.shape[0] < hr_patch or img.shape[1] < hr_patch:
+                raise ValueError(f"pool image {i} smaller than HR patch "
+                                 f"{hr_patch}")
+
+    def __iter__(self) -> Iterator[Tuple[jnp.ndarray, jnp.ndarray]]:
+        return self
+
+    def __next__(self):
+        cfg = self.cfg
+        hp = cfg.lr_patch * cfg.scale
+        crops = np.empty((cfg.batch, hp, hp, self.pool[0].shape[-1]),
+                         dtype=np.float32)
+        for b in range(cfg.batch):
+            img = self.pool[self.rng.integers(len(self.pool))]
+            y = self.rng.integers(0, img.shape[0] - hp + 1)
+            x = self.rng.integers(0, img.shape[1] - hp + 1)
+            crops[b] = img[y:y + hp, x:x + hp]
+        self.key, sub = jax.random.split(self.key)
+        return _degrade_batch(jnp.asarray(crops), sub, cfg.scale, cfg.augment)
+
+
+# ---------------------------------------------------------------------------
+# eval harness (Set5-style protocol)
+# ---------------------------------------------------------------------------
+
+def evaluate_sr(apply_fn, params, pool: List[np.ndarray], scale: int,
+                shave: Optional[int] = None, on_y: bool = True,
+                max_val: float = 255.0) -> dict:
+    """PSNR/SSIM of ``apply_fn(params, lr)`` over full images.
+
+    Protocol per the SR literature: LR = Keys-cubic 1/s of the HR (cropped
+    to a multiple of s), metrics on the Y channel with an s-pixel border
+    shave.  Returns mean psnr/ssim plus the bicubic baseline.
+    """
+    from ..eval.metrics import psnr, ssim, y_channel
+    from ..ops.resize import bicubic_upsample
+
+    shave = scale if shave is None else shave
+    m_psnr, m_ssim, b_psnr = [], [], []
+    for img in pool:
+        h = img.shape[0] - img.shape[0] % scale
+        w = img.shape[1] - img.shape[1] % scale
+        hr = jnp.asarray(img[:h, :w])
+        lr = bicubic_degrade(hr[None], scale)[0]
+        sr = apply_fn(params, lr[None])[0]
+        bic = bicubic_upsample(lr[None], scale)[0]
+
+        def prep(x):
+            x = jnp.clip(x, 0, max_val)
+            if on_y and x.shape[-1] == 3:
+                x = y_channel(x)
+            else:
+                x = x[..., 0] if x.ndim == 3 else x
+            return x[shave:-shave, shave:-shave]
+
+        hr_p = prep(hr)
+        m_psnr.append(float(psnr(prep(sr), hr_p, max_val)))
+        m_ssim.append(float(ssim(prep(sr), hr_p, max_val)))
+        b_psnr.append(float(psnr(prep(bic), hr_p, max_val)))
+    return {
+        "psnr": float(np.mean(m_psnr)),
+        "ssim": float(np.mean(m_ssim)),
+        "bicubic_psnr": float(np.mean(b_psnr)),
+        "n_images": len(pool),
+    }

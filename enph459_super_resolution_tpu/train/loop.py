@@ -1,0 +1,180 @@
+"""Training driver: jitted/sharded steps, periodic eval, checkpoint/resume.
+
+CLI:
+  python -m enph459_super_resolution_tpu.train.loop --model edsr --scale 4 \
+      --steps 2000 --out /tmp/run [--data-dir DIV2K_train_HR] [--gan]
+
+Covers the BASELINE.json training configs (SRCNN / ESPCN / FSRCNN / EDSR /
+ESRGAN fine-tune).  Observability (SURVEY.md §5 rebuild): metrics stream to
+``metrics.jsonl``; checkpoints via orbax with resume; EMA weights evaluated.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
+          batch: int = 16, lr_patch: int = 48, learning_rate: float = 1e-4,
+          loss: str = "l1", out_dir: str = "/tmp/sr_train",
+          data_dir: Optional[str] = None, eval_every: int = 500,
+          ckpt_every: int = 500, channels: int = 3, dp: bool = True,
+          gan: bool = False, seed: int = 0, resume: bool = True,
+          model_kwargs: Optional[dict] = None) -> dict:
+    """Train a zoo model; returns the final eval metrics."""
+    from ..models import VGGStyleDiscriminator, create_model
+    from ..parallel import make_mesh, shard_train_step
+    from .data import (PatchConfig, PatchSampler, evaluate_sr,
+                       image_pool_from_dir, synthetic_scene_pool)
+    from .state import (GANTrainState, TrainConfig, TrainState,
+                        make_gan_train_step, make_optimizer, make_train_step)
+
+    os.makedirs(out_dir, exist_ok=True)
+    kwargs = dict(model_kwargs or {})
+    if model_name == "srcnn":
+        kwargs.setdefault("channels", channels)
+        model = create_model(model_name, **kwargs)
+    else:
+        model = create_model(model_name, scale=scale, channels=channels,
+                             **kwargs)
+
+    pool = (image_pool_from_dir(data_dir, channels=channels) if data_dir
+            else synthetic_scene_pool(channels=channels, seed=seed,
+                                      size=max(lr_patch * scale + 16, 192)))
+    n_eval = max(2, len(pool) // 8)
+    eval_pool, train_pool = pool[:n_eval], pool[n_eval:]
+    sampler = PatchSampler(train_pool,
+                           PatchConfig(scale=scale, lr_patch=lr_patch,
+                                       batch=batch), seed=seed)
+
+    lr0, hr0 = next(sampler)
+    if model_name == "srcnn":
+        # SRCNN operates on the pre-upsampled grid
+        from ..ops.resize import bicubic_upsample
+        def apply_fn(params, lr):
+            return model.apply(params, bicubic_upsample(lr, scale))
+        init_in = jnp.zeros_like(hr0[:1])
+    else:
+        apply_fn = model.apply
+        init_in = lr0[:1]
+    params = model.init(jax.random.PRNGKey(seed), init_in)
+
+    cfg = TrainConfig(learning_rate=learning_rate, loss=loss,
+                      lr_halve_every=max(steps // 2, 1))
+    tx = make_optimizer(cfg)
+
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    import orbax.checkpoint as ocp
+    mngr = ocp.CheckpointManager(
+        ocp.test_utils.erase_and_create_empty(ckpt_dir)
+        if not (resume and os.path.isdir(ckpt_dir)) else ckpt_dir,
+        options=ocp.CheckpointManagerOptions(max_to_keep=2))
+
+    if gan:
+        disc = VGGStyleDiscriminator(nf=32)
+        d_params = disc.init(jax.random.PRNGKey(seed + 1), hr0[:1])
+        d_tx = make_optimizer(cfg)
+        from .losses import PerceptualLoss
+        state = GANTrainState(step=jnp.zeros((), jnp.int32),
+                              g=TrainState.create(params, tx),
+                              d_params=d_params, d_opt_state=d_tx.init(d_params))
+        step_fn = make_gan_train_step(apply_fn, disc.apply, tx, d_tx, cfg,
+                                      percep_loss=PerceptualLoss())
+    else:
+        state = TrainState.create(params, tx)
+        step_fn = make_train_step(apply_fn, tx, cfg)
+
+    start_step = 0
+    latest = mngr.latest_step()
+    if resume and latest is not None:
+        state = mngr.restore(latest, args=ocp.args.StandardRestore(state))
+        start_step = int(latest)
+        print(f"resumed from step {start_step}")
+
+    if dp and len(jax.devices()) > 1:
+        mesh = make_mesh({"dp": len(jax.devices())})
+        step = shard_train_step(step_fn, mesh)
+    else:
+        step = jax.jit(step_fn, donate_argnums=(0,))
+
+    metrics_path = os.path.join(out_dir, "metrics.jsonl")
+    t0 = time.time()
+    with open(metrics_path, "a") as mfp:
+        for it in range(start_step, steps):
+            lr_b, hr_b = next(sampler)
+            state, metrics = step(state, lr_b, hr_b)
+            if (it + 1) % 50 == 0 or it == start_step or it + 1 == steps:
+                rec = {k: float(v) for k, v in metrics.items()}
+                rec.update(step=it + 1, wall_s=round(time.time() - t0, 1))
+                mfp.write(json.dumps(rec) + "\n")
+                mfp.flush()
+                print(f"step {it+1}/{steps} " +
+                      " ".join(f"{k}={v:.4g}" for k, v in rec.items()
+                               if k not in ("step",)))
+            if (it + 1) % ckpt_every == 0 or it + 1 == steps:
+                mngr.save(it + 1, args=ocp.args.StandardSave(state))
+            if (it + 1) % eval_every == 0 or it + 1 == steps:
+                g = state.g if gan else state
+                ev = evaluate_sr(apply_fn, g.ema_params, eval_pool, scale)
+                ev["step"] = it + 1
+                print(f"  eval: psnr={ev['psnr']:.3f} ssim={ev['ssim']:.4f} "
+                      f"(bicubic {ev['bicubic_psnr']:.3f})")
+                with open(os.path.join(out_dir, "eval.jsonl"), "a") as efp:
+                    efp.write(json.dumps(ev) + "\n")
+    mngr.wait_until_finished()
+
+    g = state.g if gan else state
+    final = evaluate_sr(apply_fn, g.ema_params, eval_pool, scale)
+    final["steps"] = steps
+    with open(os.path.join(out_dir, "final_eval.json"), "w") as fp:
+        json.dump(final, fp, indent=2)
+    return final
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="edsr",
+                   choices=["srcnn", "espcn", "fsrcnn", "edsr", "rrdbnet"])
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr-patch", type=int, default=48)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--loss", default="l1",
+                   choices=["l1", "l2", "charbonnier"])
+    p.add_argument("--out", default="/tmp/sr_train")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--channels", type=int, default=3)
+    p.add_argument("--gan", action="store_true",
+                   help="ESRGAN-style adversarial fine-tune")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax as _jax
+        _jax.config.update("jax_platforms", args.platform)
+
+    final = train(model_name=args.model, scale=args.scale, steps=args.steps,
+                  batch=args.batch, lr_patch=args.lr_patch,
+                  learning_rate=args.learning_rate, loss=args.loss,
+                  out_dir=args.out, data_dir=args.data_dir,
+                  channels=args.channels, gan=args.gan,
+                  resume=not args.no_resume)
+    print(json.dumps(final))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

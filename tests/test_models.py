@@ -52,7 +52,7 @@ def test_train_step_reduces_loss():
     """SRCNN on a trivial identity-ish task: loss must drop markedly."""
     model = SRCNN(channels=1, f1=8, f2=4)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (4, 16, 16, 1)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (4, 16, 16, 1)), jnp.float32)
     y = x  # learn identity
     params = model.init(KEY, x)
     cfg = TrainConfig(learning_rate=1e-3, loss="l2", ema_decay=0.9)

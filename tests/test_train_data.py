@@ -1,0 +1,108 @@
+"""Resize protocol + data pipeline + short end-to-end training runs."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enph459_super_resolution_tpu.ops.resize import (
+    bicubic_degrade, bicubic_upsample, resize,
+)
+from enph459_super_resolution_tpu.train.data import (
+    PatchConfig, PatchSampler, evaluate_sr, synthetic_scene_pool,
+)
+
+RNG = np.random.default_rng(9)
+
+
+def test_resize_identity():
+    img = jnp.asarray(RNG.uniform(0, 255, (24, 30)), jnp.float32)
+    out = resize(img, (24, 30))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+
+
+def test_resize_constant_preserved():
+    img = jnp.full((16, 20, 3), 127.0, jnp.float32)
+    up = resize(img, (64, 80))
+    np.testing.assert_allclose(np.asarray(up), 127.0, atol=1e-3)
+    dn = resize(img, (4, 5))
+    np.testing.assert_allclose(np.asarray(dn), 127.0, atol=1e-3)
+
+
+def test_degrade_antialias_beats_naive_on_highfreq():
+    """Antialiased downsample must suppress aliasing energy vs plain
+    decimation on a high-frequency pattern."""
+    x = np.zeros((64, 64), np.float32)
+    x[:, ::2] = 255.0  # Nyquist-rate stripes
+    lr_aa = np.asarray(bicubic_degrade(jnp.asarray(x), 4))
+    assert abs(lr_aa.mean() - x.mean()) < 2.0
+    assert lr_aa.std() < 12.0  # stripes average out, little alias energy
+    lr_naive = x[::4, ::4]
+    assert lr_naive.std() < 1.0 and abs(lr_naive.mean() - 255.0) < 1e-6
+
+
+def test_resize_matches_pil_bicubic_protocol():
+    """Cross-check against PIL's antialiased BICUBIC: weights must match
+    exactly in the interior; only the boundary convention differs (PIL
+    clamps edge pixels, we use MATLAB-imresize symmetric reflection)."""
+    from PIL import Image
+    from enph459_super_resolution_tpu.ops.resize import resize_matrix
+
+    n_in, n_out = 48, 12
+    mine = resize_matrix(n_in, n_out, dtype_name="float64")
+    pil = np.zeros((n_out, n_in))
+    for j in range(n_in):
+        x = np.zeros((1, n_in), np.float32)
+        x[0, j] = 100.0
+        im = Image.fromarray(x, mode="F").resize((n_out, 1), Image.BICUBIC)
+        pil[:, j] = np.asarray(im)[0] / 100.0
+    np.testing.assert_allclose(mine[2:-2], pil[2:-2], atol=1e-6)
+
+
+def test_patch_sampler_shapes_and_range():
+    pool = synthetic_scene_pool(n_images=3, size=128, channels=3)
+    sampler = PatchSampler(pool, PatchConfig(scale=4, lr_patch=12, batch=4))
+    lr, hr = next(sampler)
+    assert hr.shape == (4, 48, 48, 3)
+    assert lr.shape == (4, 12, 12, 3)
+    assert float(jnp.max(hr)) <= 255.0 + 1e-3
+    lr2, hr2 = next(sampler)
+    assert not np.allclose(np.asarray(hr), np.asarray(hr2))
+
+
+def test_short_training_learns(tmp_path):
+    """A short ESPCN x2 run must show clear learning: train loss drops
+    hard and eval PSNR climbs toward the bicubic baseline (beating bicubic
+    takes thousands of steps; CI budget allows a few hundred)."""
+    from enph459_super_resolution_tpu.train.loop import train
+
+    final = train(model_name="espcn", scale=2, steps=300, batch=8,
+                  lr_patch=16, learning_rate=3e-3, channels=1,
+                  out_dir=str(tmp_path / "run"), eval_every=150,
+                  ckpt_every=300, dp=False, seed=1)
+    assert np.isfinite(final["psnr"])
+    lines = [json.loads(l)
+             for l in open(tmp_path / "run" / "metrics.jsonl")]
+    assert lines[-1]["loss"] < lines[0]["loss"] * 0.25
+    evals = [json.loads(l) for l in open(tmp_path / "run" / "eval.jsonl")]
+    assert final["psnr"] >= evals[0]["psnr"] - 0.2  # not regressing
+    assert final["psnr"] > 14.0  # far above untrained (~5-10 dB)
+    assert os.path.exists(tmp_path / "run" / "final_eval.json")
+
+
+def test_training_resume_from_checkpoint(tmp_path):
+    from enph459_super_resolution_tpu.train.loop import train
+
+    out = str(tmp_path / "resume_run")
+    train(model_name="espcn", scale=2, steps=40, batch=4, lr_patch=12,
+          channels=1, out_dir=out, eval_every=40, ckpt_every=20, dp=False)
+    # second call resumes at 40 and continues to 60
+    train(model_name="espcn", scale=2, steps=60, batch=4, lr_patch=12,
+          channels=1, out_dir=out, eval_every=60, ckpt_every=20, dp=False)
+    lines = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    steps = [l["step"] for l in lines]
+    assert max(steps) == 60
+    assert any(s <= 40 for s in steps)
