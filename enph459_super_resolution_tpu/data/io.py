@@ -33,6 +33,26 @@ def load_gray(path: str, dtype=np.float32) -> np.ndarray:
     return img.astype(dtype)
 
 
+def load_gray_batch(paths, dtype=np.float32, n_threads: int = 8):
+    """Batch grayscale decode via the native threaded loader when built
+    (falls back to per-file PIL)."""
+    from ..native import png_loader
+
+    if png_loader.available() and all(p.lower().endswith(".png")
+                                      for p in paths):
+        arrs = png_loader.load_batch(list(paths), n_threads=n_threads)
+        out = []
+        for p, arr in zip(paths, arrs):
+            if arr is None:
+                raise FileNotFoundError(f"failed to decode {p}")
+            a = arr.astype(np.float64)
+            if a.ndim == 3:
+                a = a.mean(axis=2)
+            out.append(a.astype(dtype))
+        return out
+    return [load_gray(p, dtype) for p in paths]
+
+
 def extract_red(img: np.ndarray, row_offset: int = 0, col_offset: int = 0):
     """Red plane of an RGGB Bayer mosaic: even rows / even cols by default."""
     return img[..., row_offset::2, col_offset::2]

@@ -146,21 +146,34 @@ def load_corner_rep_sessions(session_dir: str, bayer_red: bool = False,
             shifts = CORNER_SHIFTS_LR
     shifts = tuple(tuple(s) for s in shifts)
 
-    def frame(ci, ri):
-        path = os.path.join(session_dir, f"corner{ci}_rep{ri:02d}.png")
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"missing {path}")
-        return _maybe_red(load_gray(path, dtype), bayer_red)
+    # decode everything in one (natively threaded) batch
+    from .io import load_gray_batch
+
+    paths = []
+    for ci in range(4):
+        for ri in rep_ids:
+            path = os.path.join(session_dir, f"corner{ci}_rep{ri:02d}.png")
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"missing {path}")
+            paths.append(path)
+    decoded = load_gray_batch(paths, dtype)
+    frames_by = {}
+    for (ci, ri), img in zip(((c, r) for c in range(4) for r in rep_ids),
+                             decoded):
+        frames_by[(ci, ri)] = _maybe_red(img, bayer_red)
 
     if average_reps:
         frames = np.stack([
-            np.mean([frame(ci, ri) for ri in rep_ids], axis=0).astype(dtype)
+            np.mean([frames_by[(ci, ri)] for ri in rep_ids],
+                    axis=0).astype(dtype)
             for ci in range(4)
         ])
-        return [SessionData(name=name, rep=None, frames=frames, shifts=shifts)]
+        return [SessionData(name=name, rep=None, frames=frames,
+                            shifts=shifts)]
 
     out = []
     for ri in rep_ids:
-        frames = np.stack([frame(ci, ri) for ci in range(4)])
-        out.append(SessionData(name=name, rep=ri, frames=frames, shifts=shifts))
+        frames = np.stack([frames_by[(ci, ri)] for ci in range(4)])
+        out.append(SessionData(name=name, rep=ri, frames=frames,
+                               shifts=shifts))
     return out

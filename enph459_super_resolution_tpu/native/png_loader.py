@@ -33,6 +33,13 @@ def _load_lib():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
     lib.srpng_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.srpng_load_batch.restype = ctypes.c_int
+    lib.srpng_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
     _LIB = lib
     return _LIB
 
@@ -59,6 +66,42 @@ def load(path: str):
     if c.value == 1:
         arr = arr[:, :, 0]
     return arr
+
+
+def load_batch(paths, n_threads: int = 8):
+    """Decode many PNGs with the native worker pool.
+
+    Returns a list of uint8 arrays (None for failures), preserving order.
+    """
+    lib = _load_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    cs = (ctypes.c_int * n)()
+    bufs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+    lib.srpng_load_batch(
+        ctypes.cast(c_paths, ctypes.POINTER(ctypes.c_char_p)), n,
+        int(n_threads), hs, ws, cs, bufs)
+    out = []
+    for i in range(n):
+        if not bufs[i]:
+            out.append(None)
+            continue
+        try:
+            total = hs[i] * ws[i] * cs[i]
+            arr = np.ctypeslib.as_array(bufs[i], shape=(total,)).copy()
+        finally:
+            lib.srpng_free(bufs[i])
+        arr = arr.reshape(hs[i], ws[i], cs[i])
+        if cs[i] == 1:
+            arr = arr[:, :, 0]
+        out.append(arr)
+    return out
 
 
 def available() -> bool:

@@ -1,0 +1,89 @@
+"""Native C++ PNG loader: build, PIL bit-parity, batch API, fallbacks."""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from enph459_super_resolution_tpu.native import png_loader
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    if not png_loader.available():
+        if shutil.which("g++") is None:
+            pytest.skip("no g++ toolchain")
+        subprocess.run(
+            [sys.executable, "-m",
+             "enph459_super_resolution_tpu.native.build"], check=True)
+        png_loader._TRIED = False
+        png_loader._LIB = None
+    if not png_loader.available():
+        pytest.skip("native lib unavailable")
+    return png_loader
+
+
+def _write_png(path, arr):
+    Image.fromarray(arr).save(path)
+
+
+def test_single_decode_bit_parity(native_lib, tmp_path):
+    rng = np.random.default_rng(0)
+    for name, arr in [
+        ("gray.png", rng.integers(0, 256, (37, 53), dtype=np.uint8)),
+        ("rgb.png", rng.integers(0, 256, (21, 33, 3), dtype=np.uint8)),
+    ]:
+        p = str(tmp_path / name)
+        _write_png(p, arr)
+        got = native_lib.load(p)
+        want = np.asarray(Image.open(p))
+        assert np.array_equal(got, want), name
+
+
+def test_16bit_png_scaled(native_lib, tmp_path):
+    arr = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 1024)
+    p = str(tmp_path / "g16.png")
+    Image.fromarray(arr, mode="I;16").save(p)
+    got = native_lib.load(p)
+    assert got.dtype == np.uint8 and got.shape == (8, 8)
+
+
+def test_batch_decode_order_and_failures(native_lib, tmp_path):
+    rng = np.random.default_rng(1)
+    paths = []
+    arrays = []
+    for i in range(6):
+        arr = rng.integers(0, 256, (16 + i, 20, ), dtype=np.uint8)
+        p = str(tmp_path / f"img{i}.png")
+        _write_png(p, arr)
+        paths.append(p)
+        arrays.append(arr)
+    paths.insert(3, str(tmp_path / "missing.png"))
+    out = native_lib.load_batch(paths, n_threads=4)
+    assert out[3] is None
+    kept = out[:3] + out[4:]
+    for got, want in zip(kept, arrays):
+        assert np.array_equal(got, want)
+
+
+def test_non_png_falls_back():
+    assert png_loader.load("/tmp/whatever.jpg") is None
+
+
+def test_session_loader_uses_batch_path(native_lib, reference_root):
+    """End-to-end: corner_rep session load through the native batch path
+    equals the recorded frames regardless of decoder."""
+    import os as _os
+    from enph459_super_resolution_tpu.data import load_corner_rep_sessions
+
+    session = _os.path.join(
+        reference_root, "rgb_cal_target/data/"
+        "cal_target_color_tilt0.28000deg_settle20ms")
+    units = load_corner_rep_sessions(session, bayer_red=True,
+                                     average_reps=True)
+    assert units[0].frames.shape == (4, 768, 1024)
+    assert np.isfinite(units[0].frames).all()
