@@ -135,8 +135,10 @@ def main() -> int:
     assert np.isfinite(checksum)
     classical_mpix = hr_mpix / t_solve
 
-    # EDSR x4 bf16 inference (BASELINE.json headline config)
-    model = EDSR(scale=4, channels=3, dtype=jnp.bfloat16,
+    # EDSR x4 inference (BASELINE.json headline config).  f32, not bf16:
+    # measured on this backend, bf16 NHWC convs lower pathologically
+    # (~12x slower than f32 at identical shapes — see PERF_NOTES.md).
+    model = EDSR(scale=4, channels=3, dtype=jnp.float32,
                  n_resblocks=edsr_blocks)
     lr_img = jax.device_put(
         rng.uniform(0, 255, (1, edsr_hw, edsr_hw, 3)).astype(np.float32), dev)
@@ -181,7 +183,7 @@ def main() -> int:
         "platform": platform,
         "solve_s": round(t_solve, 3),
         "cpu_baseline_mpix_per_s": cpu_mpix,
-        "edsr_x4_bf16_infer_mpix_per_s": round(edsr_mpix, 2),
+        "edsr_x4_infer_mpix_per_s": round(edsr_mpix, 2),
         "edsr_x4_infer_s_per_image": round(t_edsr, 4),
         "smoke": bool(args.smoke),
     }

@@ -167,13 +167,85 @@ def psf_separable_factors(psf: np.ndarray, rel_tol: float = 1e-6):
     return rows, cols
 
 
+_BAND_BLOCK = 256  # output rows per block; window ~ 2*block + band width
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedOp:
+    """A banded 1-D operator as static block decomposition.
+
+    The operator matrices are ~98% zeros (band width ~43 of 3072); storing
+    only per-block dense sub-matrices (block rows x their nonzero column
+    window) cuts matmul FLOPs ~6-12x while staying pure MXU work — no
+    gathers, every slice static.  Registered as a pytree so the blocks can
+    ride as jit arguments (big constants blow the remote-compile payload).
+    """
+
+    def __init__(self, blocks, col_ranges, n_out: int, n_in: int):
+        self.blocks = list(blocks)          # leaves: (rows_i, win_i) arrays
+        self.col_ranges = tuple(col_ranges)  # static ((lo, hi), ...)
+        self.n_out = n_out
+        self.n_in = n_in
+
+    @classmethod
+    def from_matrix(cls, m: np.ndarray, block: int = _BAND_BLOCK,
+                    dtype_name: str = "float32") -> "BandedOp":
+        m = np.asarray(m)
+        n_out, n_in = m.shape
+        nz = m != 0.0
+        blocks, ranges = [], []
+        for r0 in range(0, n_out, block):
+            r1 = min(r0 + block, n_out)
+            cols = np.nonzero(nz[r0:r1].any(axis=0))[0]
+            lo, hi = (int(cols[0]), int(cols[-1]) + 1) if len(cols) else (0, 1)
+            blocks.append(np.ascontiguousarray(
+                m[r0:r1, lo:hi], dtype=np.dtype(dtype_name)))
+            ranges.append((lo, hi))
+        return cls(blocks, ranges, n_out, n_in)
+
+    def row_apply(self, x):
+        """self @ x along x's row (-2) axis."""
+        parts = [
+            jnp.einsum("oh,...hw->...ow", jnp.asarray(blk, x.dtype),
+                       x[..., lo:hi, :],
+                       precision=jax.lax.Precision.HIGHEST)
+            for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
+        ]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=-2)
+
+    def col_apply(self, x):
+        """x @ self^T along x's column (-1) axis."""
+        parts = [
+            jnp.einsum("...hw,ow->...ho", x[..., :, lo:hi],
+                       jnp.asarray(blk, x.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
+            for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
+        ]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=-1)
+
+    def tree_flatten(self):
+        return tuple(self.blocks), (self.col_ranges, self.n_out, self.n_in)
+
+    @classmethod
+    def tree_unflatten(cls, aux, blocks):
+        return cls(blocks, aux[0], aux[1], aux[2])
+
+
 def apply_row(m, x):
-    """(n_out, H) @ (..., H, W) along the row axis."""
+    """(n_out, H) @ (..., H, W) along the row axis; accepts a dense matrix
+    or a :class:`BandedOp`."""
+    if isinstance(m, BandedOp):
+        return m.row_apply(x)
     return jnp.einsum("oh,...hw->...ow", jnp.asarray(m, x.dtype), x,
                       precision=jax.lax.Precision.HIGHEST)
 
 
 def apply_col(m, x):
-    """(..., H, W) x (n_out, W)^T along the column axis."""
+    """(..., H, W) x (n_out, W)^T along the column axis; accepts a dense
+    matrix or a :class:`BandedOp`."""
+    if isinstance(m, BandedOp):
+        return m.col_apply(x)
     return jnp.einsum("...hw,ow->...ho", x, jnp.asarray(m, x.dtype),
                       precision=jax.lax.Precision.HIGHEST)

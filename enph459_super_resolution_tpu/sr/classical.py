@@ -249,23 +249,32 @@ def ibp_mm(lr_stack, shifts_yx, psf, hr_init, factor: int = UPSAMPLE_FACTOR,
 
 
 def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name):
-    """All operator matrices for one solve config, as a device pytree.
+    """All operator matrices for one solve config, as a device pytree of
+    :class:`BandedOp` block decompositions.
 
     Passed as jit *arguments*, not baked constants: ~0.5 GB of banded
     matrices embedded in the HLO blows past compile-payload limits (and
-    bloats the executable); as arguments they upload once and live in HBM.
+    bloats the executable); as block-decomposed arguments they upload once,
+    live in HBM, and each application costs only the band's FLOPs.
     """
+    from ..ops.opmatrix import BandedOp
+
+    def b(m):
+        return BandedOp.from_matrix(m, dtype_name=dtype_name)
+
     h_lr, w_lr = lr_shape
     mats = {
-        "zoom_r": zoom_op_matrix(h_lr, factor, dtype_name=dtype_name),
-        "zoom_c": zoom_op_matrix(w_lr, factor, dtype_name=dtype_name),
-        "saa": [(shift_op_matrix(h_lr * factor, dy * factor,
-                                 dtype_name=dtype_name),
-                 shift_op_matrix(w_lr * factor, dx * factor,
-                                 dtype_name=dtype_name))
+        "zoom_r": b(zoom_op_matrix(h_lr, factor, dtype_name=dtype_name)),
+        "zoom_c": b(zoom_op_matrix(w_lr, factor, dtype_name=dtype_name)),
+        "saa": [(b(shift_op_matrix(h_lr * factor, dy * factor,
+                                   dtype_name=dtype_name)),
+                 b(shift_op_matrix(w_lr * factor, dx * factor,
+                                   dtype_name=dtype_name)))
                 for dy, dx in shifts_yx],
-        "frames": [tuple(list(m) for m in _frame_operator_matrices(
-            psf, s, factor, lr_shape, dtype_name)) for s in shifts_yx],
+        "frames": [tuple([b(m) for m in ms] for ms in
+                         _frame_operator_matrices(psf, s, factor, lr_shape,
+                                                  dtype_name))
+                   for s in shifts_yx],
     }
     return jax.device_put(mats)
 
