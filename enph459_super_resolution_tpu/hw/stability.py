@@ -78,10 +78,66 @@ def run_single_trial(cam: BurstCamera, xpr: BeamSteering,
     return data
 
 
+def save_stability_figures(all_trials: List[Dict], out_dir: str) -> None:
+    """Poster figure set (``rolling_stability.py:97-237``): per-position
+    sigma bar chart with across-trial error bars, sigma-vs-trial lines, an
+    edge-position timeseries, and the jitter histogram."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    colors = ["#2196F3", "#FF9800", "#4CAF50", "#E91E63"]
+    sig = np.array([[float(np.std(tr[p]["edges"])) for p in range(4)]
+                    for tr in all_trials])  # (trials, 4)
+
+    fig, axes = plt.subplots(2, 2, figsize=(13, 9))
+    ax = axes[0, 0]
+    ax.bar(range(4), sig.mean(0), yerr=sig.std(0), capsize=4, color=colors)
+    ax.set_xticks(range(4), [f"pos{p}" for p in range(4)])
+    ax.set_ylabel("edge jitter sigma (px)")
+    ax.set_title("mean jitter per position")
+
+    ax = axes[0, 1]
+    for p in range(4):
+        ax.plot(sig[:, p], "o-", ms=3, color=colors[p], label=f"pos{p}")
+    ax.set_xlabel("trial")
+    ax.set_ylabel("sigma (px)")
+    ax.set_title("jitter per trial")
+    ax.legend(fontsize=7)
+
+    ax = axes[1, 0]
+    tr0 = all_trials[0]
+    for p in range(4):
+        e = np.asarray(tr0[p]["edges"])
+        ax.plot(tr0[p]["timestamps"], e - e.mean(), lw=0.6,
+                color=colors[p], alpha=0.8, label=f"pos{p}")
+    ax.set_xlabel("time (ms)")
+    ax.set_ylabel("edge - mean (px)")
+    ax.set_title("edge position timeseries (trial 0)")
+    ax.legend(fontsize=7)
+
+    ax = axes[1, 1]
+    for p in range(4):
+        devs = np.concatenate([np.asarray(tr[p]["edges"])
+                               - np.mean(tr[p]["edges"])
+                               for tr in all_trials])
+        ax.hist(devs, bins=40, alpha=0.5, color=colors[p], label=f"pos{p}")
+    ax.set_xlabel("edge deviation (px)")
+    ax.set_title("jitter histogram")
+    ax.legend(fontsize=7)
+
+    for ax in axes.ravel():
+        ax.grid(alpha=0.25)
+    fig.tight_layout()
+    fig.savefig(os.path.join(out_dir, "stability_figures.png"), dpi=110)
+    plt.close(fig)
+
+
 def run_stability(cam: BurstCamera, xpr: BeamSteering, out_dir: str,
                   tilt_deg: float = 0.14391, n_trials: int = 10,
-                  num_frames: int = 1000, sleep_fn=time.sleep) -> Dict:
-    """Full stability run + CSV/JSON summaries
+                  num_frames: int = 1000, sleep_fn=time.sleep,
+                  figures: bool = True) -> Dict:
+    """Full stability run + CSV/JSON summaries + poster figures
     (``rolling_stability.py:288-331``)."""
     os.makedirs(out_dir, exist_ok=True)
     angles = get_xpr_angles(tilt_deg)
@@ -89,6 +145,8 @@ def run_stability(cam: BurstCamera, xpr: BeamSteering, out_dir: str,
     for t in range(n_trials):
         all_trials.append(run_single_trial(cam, xpr, angles, num_frames,
                                            sleep_fn))
+    if figures:
+        save_stability_figures(all_trials, out_dir)
 
     summary = {"tilt_deg": tilt_deg, "n_trials": n_trials,
                "num_frames": num_frames, "positions": {}}

@@ -44,9 +44,12 @@ def _edge_block(x, halo: int, axis: int, top: bool):
     return jnp.tile(edge, reps)
 
 
-def halo_exchange(x, halo: int, axis_name: str, axis: int = 0):
+def halo_exchange(x, halo: int, axis_name: str, axis: int = 0,
+                  edge_mode: str = "edge"):
     """Extend this device's tile with ``halo`` rows from each neighbour
-    along ``axis``; global edges get edge-replicated rows.
+    along ``axis``; global edges get edge-replicated rows (``edge_mode=
+    'edge'``, SciPy-style boundary for the classical ops) or zeros
+    (``'zero'``, matching SAME-conv semantics for NN trunks).
 
     (..., T, ...) -> (..., halo + T + halo, ...), two ppermutes.
     """
@@ -68,15 +71,20 @@ def halo_exchange(x, halo: int, axis_name: str, axis: int = 0):
     from_prev = jax.lax.ppermute(x[tuple(sl_hi)], axis_name, perm_dn)
 
     idx = jax.lax.axis_index(axis_name)
-    from_prev = jnp.where(idx == 0, _edge_block(x, halo, axis, top=True),
-                          from_prev)
-    from_next = jnp.where(idx == n - 1, _edge_block(x, halo, axis, top=False),
-                          from_next)
+    if edge_mode == "zero":
+        top_blk = jnp.zeros_like(from_prev)
+        bot_blk = jnp.zeros_like(from_next)
+    else:
+        top_blk = _edge_block(x, halo, axis, top=True)
+        bot_blk = _edge_block(x, halo, axis, top=False)
+    from_prev = jnp.where(idx == 0, top_blk, from_prev)
+    from_next = jnp.where(idx == n - 1, bot_blk, from_next)
     return jnp.concatenate([from_prev, x, from_next], axis=axis)
 
 
 def tiled_apply(fn: Callable, img, mesh: Mesh, halo: int,
-                sp_axis: str = "sp", axis: int = -2, out_scale: int = 1):
+                sp_axis: str = "sp", axis: int = -2, out_scale: int = 1,
+                edge_mode: str = "edge"):
     """Apply a local op to a spatially-sharded image, exactly.
 
     Args:
@@ -95,7 +103,7 @@ def tiled_apply(fn: Callable, img, mesh: Mesh, halo: int,
         raise ValueError(f"H={img.shape[axis_n]} not divisible by sp={nsp}")
 
     def shard_fn(tile):
-        ext = halo_exchange(tile, halo, sp_axis, axis_n)
+        ext = halo_exchange(tile, halo, sp_axis, axis_n, edge_mode)
         out = fn(ext)
         s = out_scale
         sl = [slice(None)] * out.ndim

@@ -362,6 +362,27 @@ def solve(lr_stack, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
     return fn(lr_stack, mats)
 
 
+def solve_batch(lr_stacks, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
+                n_iter: int = 80, step: float = IBP_STEP_SIZE,
+                clip_max: float = 255.0, engine: str = "mm"):
+    """Batched solve over R same-shaped units: ``f32[R, N, h, w]``.
+
+    The reference's unit of scale is a Python loop over sessions/reps
+    (``mono_barcodes/run_sr.py:301,393``); here all reps of a session (and
+    any same-shaped sessions) solve as ONE vmapped graph — on a mesh this
+    is the ``dp`` axis.  Returns the solve dict with a leading R axis.
+    """
+    psf = np.asarray(psf, dtype=np.float64)
+    shifts_key = tuple((float(dy), float(dx)) for dy, dx in shifts_yx)
+    lr_shape = tuple(int(v) for v in lr_stacks.shape[-2:])
+    dtype_name = str(jnp.asarray(lr_stacks).dtype)
+    fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
+                               shifts_key, int(factor), int(n_iter),
+                               float(step), float(clip_max), engine,
+                               lr_shape, dtype_name)
+    return jax.jit(jax.vmap(fn, in_axes=(0, None)))(lr_stacks, mats)
+
+
 def to_uint8(img) -> np.ndarray:
     """Reference output quantization: clip to [0, 255] then TRUNCATE
     (``np.clip(...).astype(np.uint8)``, ``mono_barcodes/run_sr.py:339``)."""

@@ -101,13 +101,24 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
                        n_iter=cfg.ibp_iterations, step=cfg.ibp_step)
         result = {k: np.asarray(v) for k, v in result.items()}  # d2h sync
 
+    return _write_unit_artifacts(session, result, cfg, output_base, figures,
+                                 timer)
+
+
+def _write_unit_artifacts(session: SessionData, result: Dict,
+                          cfg: WorkloadConfig, output_base: str,
+                          figures: bool, timer: StageTimer) -> str:
+    """Persist one unit's outputs (reference artifact schema + metrics)."""
+    out_dir = _unit_out_dir(output_base, session)
+    os.makedirs(out_dir, exist_ok=True)
     with timer.stage("save"):
         hr_images = {
             "Native-2x": to_uint8(result["native"]),
             "SAA": to_uint8(result["saa"]),
             "SAA+IBP": to_uint8(result["ibp"]),
         }
-        name_map = {"Native-2x": "native_2x", "SAA": "SAA", "SAA+IBP": "SAA_IBP"}
+        name_map = {"Native-2x": "native_2x", "SAA": "SAA",
+                    "SAA+IBP": "SAA_IBP"}
         for name, img in hr_images.items():
             save_png(img, os.path.join(out_dir, f"{name_map[name]}.png"))
         save_png(to_uint8(result["lr_mean"]),
@@ -142,22 +153,58 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
     with open(os.path.join(out_dir, "metrics.json"), "w") as fp:
         json.dump(metrics, fp, indent=2)
 
-    open(done_flag, "w").close()
-    print(f"  done: {out_dir}  (solve {timer.as_dict().get('solve', 0):.2f}s, "
-          f"final MSE {metrics['final_mse']:.4f})")
+    open(os.path.join(out_dir, "done.flag"), "w").close()
+    print(f"  done: {out_dir}  (solve {timer.as_dict().get('solve', 0):.2f}s,"
+          f" final MSE {metrics['final_mse']:.4f})")
     return out_dir
 
 
 def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
                         output_base: str, figures: bool = True,
-                        force: bool = False) -> int:
-    """Load all units in a session directory and process each."""
+                        force: bool = False, batch_reps: bool = True) -> int:
+    """Load all units in a session directory and process them.
+
+    With ``batch_reps`` (default), same-shaped pending units (e.g. all reps
+    of a barcode session, ``mono_barcodes/run_sr.py:301``) solve as ONE
+    vmapped device call instead of a Python loop; artifacts are written
+    per unit exactly as before.
+    """
+    from .classical import solve_batch
+
     t0 = time.time()
     units = cfg.load(session_dir)
     print(f"Session {os.path.basename(session_dir)}: {len(units)} unit(s), "
           f"loaded in {time.time() - t0:.1f}s")
-    n = 0
+
+    pending = []
     for unit in units:
-        if process_unit(unit, psf, cfg, output_base, figures, force) is not None:
+        out_dir = _unit_out_dir(output_base, unit)
+        if os.path.exists(os.path.join(out_dir, "done.flag")) and not force:
+            print(f"  [skip] {out_dir} - already done")
+            continue
+        pending.append(unit)
+
+    same_shape = len({u.frames.shape for u in pending}) == 1
+    same_shifts = len({u.shifts for u in pending}) == 1
+    if batch_reps and len(pending) > 1 and same_shape and same_shifts:
+        timer = StageTimer()
+        with timer.stage("solve"):
+            stacks = jnp.asarray(np.stack([u.frames for u in pending]))
+            batched = solve_batch(stacks, psf, pending[0].shifts,
+                                  factor=cfg.upsample_factor,
+                                  n_iter=cfg.ibp_iterations, step=cfg.ibp_step)
+            batched = {k: np.asarray(v) for k, v in batched.items()}
+        print(f"  batched solve of {len(pending)} unit(s): "
+              f"{timer.as_dict()['solve']:.2f}s")
+        for i, unit in enumerate(pending):
+            result = {k: v[i] for k, v in batched.items()}
+            _write_unit_artifacts(unit, result, cfg, output_base, figures,
+                                  timer)
+        return len(pending)
+
+    n = 0
+    for unit in pending:
+        if process_unit(unit, psf, cfg, output_base, figures,
+                        force=True) is not None:
             n += 1
     return n
