@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -167,7 +168,14 @@ def psf_separable_factors(psf: np.ndarray, rel_tol: float = 1e-6):
     return rows, cols
 
 
-_BAND_BLOCK = 256  # output rows per block; window ~ 2*block + band width
+# Tuned on the target TPU (see PERF_NOTES.md): 512-row blocks are ~10x
+# faster than 256 at these shapes.  SRTPU_MM_PRECISION=DEFAULT buys a
+# further ~2x but loosens uint8 golden parity from +/-1 to +/-3 counts
+# (measured) — HIGHEST is the default because strict reference parity is a
+# contract here.  Override via env SRTPU_BAND_BLOCK / SRTPU_MM_PRECISION.
+_BAND_BLOCK = int(os.environ.get("SRTPU_BAND_BLOCK", "512"))
+_MM_PRECISION = getattr(jax.lax.Precision,
+                        os.environ.get("SRTPU_MM_PRECISION", "HIGHEST"))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -207,8 +215,7 @@ class BandedOp:
         """self @ x along x's row (-2) axis."""
         parts = [
             jnp.einsum("oh,...hw->...ow", jnp.asarray(blk, x.dtype),
-                       x[..., lo:hi, :],
-                       precision=jax.lax.Precision.HIGHEST)
+                       x[..., lo:hi, :], precision=_MM_PRECISION)
             for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
         ]
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
@@ -218,8 +225,7 @@ class BandedOp:
         """x @ self^T along x's column (-1) axis."""
         parts = [
             jnp.einsum("...hw,ow->...ho", x[..., :, lo:hi],
-                       jnp.asarray(blk, x.dtype),
-                       precision=jax.lax.Precision.HIGHEST)
+                       jnp.asarray(blk, x.dtype), precision=_MM_PRECISION)
             for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
         ]
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts,

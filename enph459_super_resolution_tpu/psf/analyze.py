@@ -157,6 +157,87 @@ def analyse_position(paths: List[str], crop_radius: int,
     )
 
 
+def save_position_figure(res: Dict, pos: int, out_path: str,
+                         zoom: int = 12) -> None:
+    """Per-position summary figure (``analyze_psf_mtf.py:337-531`` layout:
+    PSF/std/fit, radial profile with band, EE, MTF aligned vs naive)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 3, figsize=(15, 9))
+    c = res["psf_avg"].shape[0] // 2
+    sl = slice(c - zoom, c + zoom + 1)
+    axes[0, 0].imshow(res["psf_avg"][sl, sl], cmap="inferno")
+    axes[0, 0].set_title(f"pos{pos} aligned avg (n={res['n_images']})")
+    axes[0, 1].imshow(res["psf_std"][sl, sl], cmap="inferno")
+    axes[0, 1].set_title("per-pixel std")
+    if res.get("psf_fit") is not None:
+        axes[0, 2].imshow((res["psf_avg"] - res["psf_fit"])[sl, sl],
+                          cmap="coolwarm")
+        p = res["psf_fit_params"]
+        axes[0, 2].set_title(f"fit residual (sx={p[3]:.2f} sy={p[4]:.2f})")
+    r = res["radii_psf"]
+    axes[1, 0].plot(r, res["radial_mean"], color="C0")
+    axes[1, 0].fill_between(r, res["radial_mean"] - res["radial_std"],
+                            res["radial_mean"] + res["radial_std"],
+                            alpha=0.25)
+    axes[1, 0].set_title("radial PSF profile")
+    axes[1, 1].plot(r, res["ee_mean"], color="C0")
+    axes[1, 1].fill_between(r, np.clip(res["ee_mean"] - res["ee_std"], 0, 1),
+                            np.clip(res["ee_mean"] + res["ee_std"], 0, 1),
+                            alpha=0.25)
+    axes[1, 1].set_title("encircled energy")
+    axes[1, 2].plot(res["freq"], res["mtf"], color="C0",
+                    label=f"aligned (MTF50 {res['mtf50']:.1f})")
+    axes[1, 2].plot(res["freq_naive"], res["mtf_naive"], color="C3",
+                    ls="--", label=f"naive (MTF50 {res['mtf50_naive']:.1f})")
+    axes[1, 2].axvline(res["nyquist"], color="gray", lw=0.8, ls=":")
+    axes[1, 2].set_xlim(0, res["nyquist"] * 1.05)
+    axes[1, 2].set_title(f"MTF ({res['freq_label']})")
+    axes[1, 2].legend(fontsize=7)
+    for ax in axes.ravel():
+        ax.grid(alpha=0.2)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def save_comparison_figure(results_by_pos: Dict[int, Dict],
+                           out_path: str) -> None:
+    """9-way overlay: naive MTFs (real blur probe), aligned MTFs, and the
+    per-position MTF50 bar pair (``analyze_psf_mtf.py:533-634``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(16, 4.5))
+    cmap = plt.get_cmap("tab10")
+    for pos, res in sorted(results_by_pos.items()):
+        axes[0].plot(res["freq_naive"], res["mtf_naive"], lw=1,
+                     color=cmap(pos % 10), label=f"pos{pos}")
+        axes[1].plot(res["freq"], res["mtf"], lw=1, color=cmap(pos % 10))
+    axes[0].set_title("naive-stack MTF (shift-jitter blur)")
+    axes[1].set_title("aligned-stack MTF")
+    positions = sorted(results_by_pos)
+    w = 0.4
+    axes[2].bar([p - w / 2 for p in positions],
+                [results_by_pos[p]["mtf50_naive"] for p in positions],
+                width=w, label="naive")
+    axes[2].bar([p + w / 2 for p in positions],
+                [results_by_pos[p]["mtf50"] for p in positions],
+                width=w, label="aligned")
+    axes[2].set_title("MTF50 per position")
+    axes[2].set_xlabel("grid position")
+    axes[0].legend(fontsize=6, ncol=2)
+    axes[2].legend(fontsize=7)
+    for ax in axes:
+        ax.grid(alpha=0.25)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
 _NPZ_KEYS = (
     "n_images psf_avg psf_std psf_naive psf_fit psf_fit_params com_avg "
     "radii_psf psf_profile_avg radial_mean radial_std freq mtf_mean mtf_std "
@@ -173,6 +254,7 @@ def main(argv=None) -> int:
     p.add_argument("--crop-radius", type=int, default=50)
     p.add_argument("--bg-percentile", type=float, default=50.0)
     p.add_argument("--output-dir", default="results")
+    p.add_argument("--no-figures", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
     if args.platform:
@@ -190,12 +272,17 @@ def main(argv=None) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     dump = {}
     summary = {}
+    by_pos = {}
     for pos in positions:
         paths = [r["path"] for r in records if r["position"] == pos]
         res = analyse_position(paths, args.crop_radius, args.pixel_pitch_um,
                                args.bg_percentile)
         if res is None:
             continue
+        by_pos[pos] = res
+        if not args.no_figures:
+            save_position_figure(res, pos, os.path.join(
+                args.output_dir, f"psf_mtf_pos{pos}.png"))
         for k in _NPZ_KEYS:
             v = res.get(k)
             if v is not None:
@@ -211,6 +298,9 @@ def main(argv=None) -> int:
               f"MTF10={res['mtf10']:.2f} naive MTF50={res['mtf50_naive']:.2f} "
               f"[{res['freq_label']}]")
 
+    if not args.no_figures and by_pos:
+        save_comparison_figure(by_pos, os.path.join(
+            args.output_dir, "psf_mtf_comparison.png"))
     np.savez(os.path.join(args.output_dir, "psf_mtf_by_position_data.npz"),
              **dump)
     with open(os.path.join(args.output_dir, "summary.json"), "w") as fp:
