@@ -176,6 +176,9 @@ def psf_separable_factors(psf: np.ndarray, rel_tol: float = 1e-6):
 _BAND_BLOCK = int(os.environ.get("SRTPU_BAND_BLOCK", "512"))
 _MM_PRECISION = getattr(jax.lax.Precision,
                         os.environ.get("SRTPU_MM_PRECISION", "HIGHEST"))
+# SRTPU_PALLAS_ROWS=1 executes 2-D row-operator applications through the
+# Pallas banded kernel (ops/pallas_kernels.py) instead of XLA block matmuls.
+_PALLAS_ROWS = os.environ.get("SRTPU_PALLAS_ROWS", "0") == "1"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -189,15 +192,19 @@ class BandedOp:
     ride as jit arguments (big constants blow the remote-compile payload).
     """
 
-    def __init__(self, blocks, col_ranges, n_out: int, n_in: int):
+    def __init__(self, blocks, col_ranges, n_out: int, n_in: int,
+                 packed=None):
         self.blocks = list(blocks)          # leaves: (rows_i, win_i) arrays
         self.col_ranges = tuple(col_ranges)  # static ((lo, hi), ...)
         self.n_out = n_out
         self.n_in = n_in
+        # optional Pallas packing: (starts[i32 n], bands[n, B, S]) leaves
+        self.packed = packed
 
     @classmethod
     def from_matrix(cls, m: np.ndarray, block: int = _BAND_BLOCK,
-                    dtype_name: str = "float32") -> "BandedOp":
+                    dtype_name: str = "float32",
+                    pack_pallas: Optional[bool] = None) -> "BandedOp":
         m = np.asarray(m)
         n_out, n_in = m.shape
         nz = m != 0.0
@@ -209,10 +216,26 @@ class BandedOp:
             blocks.append(np.ascontiguousarray(
                 m[r0:r1, lo:hi], dtype=np.dtype(dtype_name)))
             ranges.append((lo, hi))
-        return cls(blocks, ranges, n_out, n_in)
+        op = cls(blocks, ranges, n_out, n_in)
+        if pack_pallas is None:
+            pack_pallas = _PALLAS_ROWS
+        if pack_pallas and len(blocks) > 1:
+            from .pallas_kernels import pack_banded
+
+            starts, bands, _ = pack_banded(op)
+            op.packed = (starts, bands)
+        return op
 
     def row_apply(self, x):
         """self @ x along x's row (-2) axis."""
+        if self.packed is not None and x.ndim == 2 and \
+                x.shape[-1] % 512 == 0:
+            from .pallas_kernels import _banded_row_pallas
+
+            starts, bands = self.packed
+            return _banded_row_pallas(
+                jnp.asarray(starts), jnp.asarray(bands, x.dtype), x,
+                self.n_out, int(bands.shape[-1]), 512)
         parts = [
             jnp.einsum("oh,...hw->...ow", jnp.asarray(blk, x.dtype),
                        x[..., lo:hi, :], precision=_MM_PRECISION)
@@ -232,11 +255,18 @@ class BandedOp:
                                                                 axis=-1)
 
     def tree_flatten(self):
-        return tuple(self.blocks), (self.col_ranges, self.n_out, self.n_in)
+        leaves = tuple(self.blocks) + (
+            self.packed if self.packed is not None else ())
+        aux = (self.col_ranges, self.n_out, self.n_in,
+               self.packed is not None)
+        return leaves, aux
 
     @classmethod
-    def tree_unflatten(cls, aux, blocks):
-        return cls(blocks, aux[0], aux[1], aux[2])
+    def tree_unflatten(cls, aux, leaves):
+        col_ranges, n_out, n_in, has_packed = aux
+        n = len(col_ranges)
+        packed = tuple(leaves[n:]) if has_packed else None
+        return cls(leaves[:n], col_ranges, n_out, n_in, packed)
 
 
 def apply_row(m, x):

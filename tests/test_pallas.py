@@ -1,0 +1,63 @@
+"""Pallas banded-kernel correctness (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from enph459_super_resolution_tpu.ops.opmatrix import (
+    BandedOp, shift_op_matrix, stuff_shift_op_matrix,
+)
+from enph459_super_resolution_tpu.ops.pallas_kernels import (
+    banded_row_apply, pack_banded,
+)
+
+RNG = np.random.default_rng(3)
+
+
+@pytest.mark.parametrize("case", ["fwd_stride", "bwd_stuff", "plain_shift"])
+def test_pallas_banded_row_matches_xla(case):
+    if case == "fwd_stride":
+        m = shift_op_matrix(2048, 1.0, stride=2, n_out=1024,
+                            blur_taps=tuple(np.random.rand(7)),
+                            dtype_name="float32")
+    elif case == "bwd_stuff":
+        m = stuff_shift_op_matrix(1024, 2, -1.0,
+                                  blur_taps=tuple(np.random.rand(7)),
+                                  dtype_name="float32")
+    else:
+        m = shift_op_matrix(2048, 0.37, dtype_name="float32")
+    op = BandedOp.from_matrix(m)
+    x = jnp.asarray(RNG.uniform(0, 255, (2048 if case != "bwd_stuff" else
+                                         1024, 1024)), jnp.float32)
+    want = np.asarray(op.row_apply(x))
+    got = np.asarray(banded_row_apply(op, x, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_pack_banded_alignment_and_coverage():
+    m = shift_op_matrix(2048, 1.0, stride=2, n_out=1024,
+                        blur_taps=tuple(np.random.rand(7)),
+                        dtype_name="float32")
+    op = BandedOp.from_matrix(m)
+    starts, bands, blk = pack_banded(op)
+    assert (starts % 8 == 0).all()
+    assert bands.shape[-1] % 128 == 0
+    assert (starts + bands.shape[-1] <= op.n_in).all()
+    # packed representation reproduces the dense matrix exactly
+    dense = np.zeros((len(op.blocks) * blk, op.n_in), dtype=np.float32)
+    for i in range(len(op.blocks)):
+        dense[i * blk:(i + 1) * blk,
+              starts[i]:starts[i] + bands.shape[-1]] += bands[i]
+    np.testing.assert_array_equal(dense[:op.n_out], m)
+
+
+def test_packed_pytree_roundtrip():
+    m = shift_op_matrix(2048, 0.5, dtype_name="float32")
+    op = BandedOp.from_matrix(m, pack_pallas=True)
+    assert op.packed is not None
+    leaves, treedef = jax.tree.flatten(op)
+    op2 = jax.tree.unflatten(treedef, leaves)
+    assert op2.packed is not None and len(op2.packed) == 2
+    assert op2.col_ranges == op.col_ranges
