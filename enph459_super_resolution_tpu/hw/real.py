@@ -31,7 +31,7 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
-from .protocols import TRIGGER_LINE2, TRIGGER_SOFTWARE
+from .protocols import TRIGGER_LINE2
 
 
 def _need(pkg: str, hint: str):

@@ -55,7 +55,14 @@ def knife_edge_scene(shape=(1024, 1280), edge_col: float = 640.0,
 class SimConfig:
     """Physical model parameters (defaults from the reference calibration:
     ~0.9 px shift at 0.28 deg tilt -> gain ~3.2 px/deg; jitter sigma a few
-    1e-3 px when settled, see BASELINE.md rows 5-8)."""
+    1e-3 px when settled, see BASELINE.md rows 5-8).
+
+    Fault injection (SURVEY.md §5: the reference has none; the rebuild uses
+    it to exercise every retry/fallback path): ``fault_frame_timeout_rate``
+    makes ``capture_raw`` raise TimeoutError stochastically;
+    ``fault_empty_burst`` makes the next N ``stream_burst`` calls return
+    zero frames (the failure rolling_stability retries on).
+    """
 
     gain_px_per_deg: float = 3.2
     jitter_sigma_px: float = 0.005
@@ -70,6 +77,8 @@ class SimConfig:
     lr_shape: Tuple[int, int] = (1536, 2048)
     factor: int = 2  # HR scene super-sampling vs the sensor grid
     seed: int = 0
+    fault_frame_timeout_rate: float = 0.0
+    fault_empty_burst: int = 0
 
 
 class SimulatedRig:
@@ -186,6 +195,9 @@ class SimCamera:
     def capture_raw(self) -> np.ndarray:
         if self._closed:
             raise RuntimeError("camera closed")
+        if self.rig.cfg.fault_frame_timeout_rate > 0 and \
+                self.rig.rng.uniform() < self.rig.cfg.fault_frame_timeout_rate:
+            raise TimeoutError("camera frame timeout (injected fault)")
         if self.hardware_trigger:
             if not self.rig.pending_trigger:
                 raise TimeoutError(
@@ -205,6 +217,9 @@ class SimCamera:
 
     def stream_burst(self, n_frames: int, callback=None):
         """Max-FPS burst (reference ``allied_vision_camera.py:90-115``)."""
+        if self.rig.cfg.fault_empty_burst > 0:
+            self.rig.cfg.fault_empty_burst -= 1
+            return [], []
         frames, stamps = [], []
         period_ms = max(self.exposure / 1000.0, 1.0)
         for i in range(n_frames):

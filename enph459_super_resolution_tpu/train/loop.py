@@ -12,7 +12,6 @@ ESRGAN fine-tune).  Observability (SURVEY.md §5 rebuild): metrics stream to
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 import time
@@ -20,7 +19,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,

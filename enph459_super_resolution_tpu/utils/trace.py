@@ -13,7 +13,7 @@ import contextlib
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 @contextlib.contextmanager

@@ -175,6 +175,36 @@ def test_autofocus_finds_best_focus(tmp_path):
     assert "dof_mm" in data
 
 
+def test_fault_injection_empty_burst_retry(tmp_path):
+    """Injected empty bursts exercise the stability retry path: one empty
+    burst is retried and the trial succeeds; two consecutive empty bursts
+    hard-fail like the reference (``rolling_stability.py:80-84``)."""
+    from enph459_super_resolution_tpu.hw.stability import run_single_trial
+
+    rig = small_rig(scene=knife_edge_scene((192, 256), edge_col=128.0))
+    cam = SimCamera(rig)
+    xpr = SimBeamSteering(rig)
+    angles = get_xpr_angles(0.1)
+
+    rig.cfg.fault_empty_burst = 1
+    data = run_single_trial(cam, xpr, angles, num_frames=4,
+                            sleep_fn=lambda s: rig.sleep(s))
+    assert len(data[0]["edges"]) == 4  # retry recovered
+
+    rig.cfg.fault_empty_burst = 2
+    with pytest.raises(RuntimeError, match="0 frames"):
+        run_single_trial(cam, xpr, angles, num_frames=4,
+                         sleep_fn=lambda s: rig.sleep(s))
+
+
+def test_fault_injection_frame_timeout():
+    rig = small_rig()
+    rig.cfg.fault_frame_timeout_rate = 1.0
+    cam = SimCamera(rig)
+    with pytest.raises(TimeoutError, match="injected"):
+        cam.capture_raw()
+
+
 def test_sw_triggered_collection(tmp_path):
     from enph459_super_resolution_tpu.hw.collect import run_sw_triggered
 

@@ -1,0 +1,90 @@
+"""SR pipeline behaviors: artifacts, idempotent resume, batched reps, and
+the real rgb_barcodes session loader."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from enph459_super_resolution_tpu.sr import make_gaussian_psf
+from enph459_super_resolution_tpu.sr.config import WORKLOADS
+from enph459_super_resolution_tpu.sr.pipeline import process_session_dir
+
+
+@pytest.fixture()
+def tiny_session(tmp_path):
+    """A synthetic corner_rep session with 2 reps of 4 corners."""
+    from enph459_super_resolution_tpu.data.io import save_png
+
+    rng = np.random.default_rng(0)
+    scene = ndi.gaussian_filter(rng.uniform(0, 255, (64, 80)), 1.2)
+    sdir = tmp_path / "data" / "tiny_mono_session"
+    os.makedirs(sdir)
+    for ci in range(4):
+        for ri in range(2):
+            img = np.clip(scene + rng.normal(0, 1, scene.shape), 0,
+                          255).astype(np.uint8)
+            save_png(img, str(sdir / f"corner{ci}_rep{ri:02d}.png"))
+    return str(sdir)
+
+
+def test_pipeline_artifacts_and_resume(tiny_session, tmp_path):
+    cfg = WORKLOADS["mono_barcodes"]
+    out = str(tmp_path / "results")
+    psf = make_gaussian_psf()
+
+    n = process_session_dir(tiny_session, psf, cfg, out, figures=False)
+    assert n == 2  # both reps, batched
+    rep0 = os.path.join(out, "tiny_mono_session", "rep0")
+    for f in ["native_2x.png", "SAA.png", "SAA_IBP.png", "LR_mean.png",
+              "shifts.json", "metrics.json", "done.flag"]:
+        assert os.path.exists(os.path.join(rep0, f)), f
+
+    metrics = json.load(open(os.path.join(rep0, "metrics.json")))
+    assert metrics["hr_shape"] == [128, 160]
+    assert metrics["ibp_iterations"] == cfg.ibp_iterations
+    assert len(metrics["mse_history"]) == cfg.ibp_iterations
+    assert metrics["mse_history"][-1] < metrics["mse_history"][0]
+
+    # idempotent resume: done.flag skips everything
+    n2 = process_session_dir(tiny_session, psf, cfg, out, figures=False)
+    assert n2 == 0
+
+    # force reprocesses
+    n3 = process_session_dir(tiny_session, psf, cfg, out, figures=False,
+                             force=True)
+    assert n3 == 2
+
+
+def test_pipeline_figures(tiny_session, tmp_path):
+    cfg = WORKLOADS["mono_barcodes"]
+    out = str(tmp_path / "resfig")
+    process_session_dir(tiny_session, make_gaussian_psf(), cfg, out,
+                        figures=True)
+    rep0 = os.path.join(out, "tiny_mono_session", "rep0")
+    assert os.path.exists(os.path.join(rep0, "comparison.png"))
+    assert os.path.exists(os.path.join(rep0, "convergence.png"))
+
+
+@pytest.mark.slow
+def test_rgb_barcodes_real_session_loads_and_converges(reference_root):
+    """The red-Bayer barcode path on the real dataset: per-rep units load
+    with nominal red-LR shifts and IBP converges."""
+    import jax.numpy as jnp
+    from enph459_super_resolution_tpu.sr import solve
+
+    data = os.path.join(reference_root, "rgb_barcodes/data/"
+                        "2_3_5_mil_color_tilt 0.28256_settle50ms")
+    cfg = WORKLOADS["rgb_barcodes"]
+    units = cfg.load(data)
+    assert len(units) >= 2
+    u = units[0]
+    assert u.frames.shape[0] == 4
+    assert u.frames.shape[1] * 2 == 1536  # red plane of a 1536-row sensor
+    assert u.shifts == ((0.5, -0.5), (0.5, 0.5), (-0.5, -0.5), (-0.5, 0.5))
+    out = solve(jnp.asarray(u.frames), make_gaussian_psf(), u.shifts,
+                n_iter=10)
+    errs = np.asarray(out["mse_history"])
+    assert errs[-1] < errs[0]
