@@ -135,6 +135,24 @@ def main() -> int:
     assert np.isfinite(checksum)
     classical_mpix = hr_mpix / t_solve
 
+    # batched (vmapped) multi-rep solve: the pipeline's dp-utilization mode
+    from enph459_super_resolution_tpu.sr.classical import solve_batch
+
+    nb = 2 if args.smoke else 4
+    stacks = jax.device_put(
+        rng.uniform(0, 255, (nb, 5, h, w)).astype(np.float32), dev)
+    outb = solve_batch(stacks, psf, shifts, n_iter=n_iter)
+    float(np.asarray(outb["mse_history"][-1, -1]))
+    t0 = time.perf_counter()
+    carry = jnp.float32(0.0)
+    for _ in range(max(reps // 2, 1)):
+        outb = solve_batch(stacks + carry * 1e-12, psf, shifts,
+                           n_iter=n_iter)
+        carry = outb["mse_history"][-1, -1]
+    float(np.asarray(carry))
+    t_batch = (time.perf_counter() - t0) / max(reps // 2, 1)
+    batch_mpix = nb * hr_mpix / t_batch
+
     # EDSR x4 inference (BASELINE.json headline config).  f32, not bf16:
     # measured on this backend, bf16 NHWC convs lower pathologically
     # (~12x slower than f32 at identical shapes — see PERF_NOTES.md).
@@ -182,6 +200,7 @@ def main() -> int:
         "vs_baseline": None if vs != vs else round(vs, 1),
         "platform": platform,
         "solve_s": round(t_solve, 3),
+        "classical_batch_mpix_per_s": round(batch_mpix, 3),
         "cpu_baseline_mpix_per_s": cpu_mpix,
         "edsr_x4_infer_mpix_per_s": round(edsr_mpix, 2),
         "edsr_x4_infer_s_per_image": round(t_edsr, 4),

@@ -110,6 +110,8 @@ class EDSR(nn.Module):
     n_feats: int = 64
     res_scale: float = 1.0
     rgb_range: float = 255.0
+    remat: bool = False  # jax.checkpoint each resblock: trades ~30% extra
+    # FLOPs for O(1) trunk activation memory in training (HBM headroom)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -117,8 +119,11 @@ class EDSR(nn.Module):
         x = MeanShift(sign=-1, scale=self.rgb_range)(x)
         x = x.astype(self.dtype)
         x = head = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
+        block = ResBlock
+        if self.remat:
+            block = nn.remat(ResBlock)
         for _ in range(self.n_resblocks):
-            x = ResBlock(self.n_feats, self.res_scale, dtype=self.dtype)(x)
+            x = block(self.n_feats, self.res_scale, dtype=self.dtype)(x)
         x = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
         x = x + head
         x = Upsampler(self.scale, self.n_feats, dtype=self.dtype)(x)
@@ -174,6 +179,7 @@ class RRDBNet(nn.Module):
     nb: int = 23
     gc: int = 32
     rgb_range: float = 255.0
+    remat: bool = False  # jax.checkpoint each RRDB block (see EDSR.remat)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -182,8 +188,9 @@ class RRDBNet(nn.Module):
         x = (x / self.rgb_range).astype(self.dtype)
         fea = nn.Conv(self.nf, (3, 3), dtype=self.dtype)(x)
         trunk = fea
+        block = nn.remat(RRDB) if self.remat else RRDB
         for _ in range(self.nb):
-            trunk = RRDB(self.nf, self.gc, dtype=self.dtype)(trunk)
+            trunk = block(self.nf, self.gc, dtype=self.dtype)(trunk)
         trunk = nn.Conv(self.nf, (3, 3), dtype=self.dtype)(trunk)
         fea = fea + trunk
         stages = {2: (2,), 4: (2, 2), 8: (2, 2, 2)}[self.scale]

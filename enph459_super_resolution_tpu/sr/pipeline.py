@@ -161,13 +161,15 @@ def _write_unit_artifacts(session: SessionData, result: Dict,
 
 def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
                         output_base: str, figures: bool = True,
-                        force: bool = False, batch_reps: bool = True) -> int:
+                        force: bool = False, batch_reps: bool = False) -> int:
     """Load all units in a session directory and process them.
 
-    With ``batch_reps`` (default), same-shaped pending units (e.g. all reps
-    of a barcode session, ``mono_barcodes/run_sr.py:301``) solve as ONE
-    vmapped device call instead of a Python loop; artifacts are written
-    per unit exactly as before.
+    With ``batch_reps``, same-shaped pending units (e.g. all reps of a
+    barcode session, ``mono_barcodes/run_sr.py:301``) solve as ONE vmapped
+    device call; artifacts are written per unit exactly as before.  Default
+    OFF: on the current backend the vmapped solve lowers ~47x slower per
+    unit than sequential solves (see PERF_NOTES.md), so sequential is the
+    fast path until that lowering is fixed.
     """
     from .classical import solve_batch
 

@@ -35,8 +35,9 @@ def test_pipeline_artifacts_and_resume(tiny_session, tmp_path):
     out = str(tmp_path / "results")
     psf = make_gaussian_psf()
 
-    n = process_session_dir(tiny_session, psf, cfg, out, figures=False)
-    assert n == 2  # both reps, batched
+    n = process_session_dir(tiny_session, psf, cfg, out, figures=False,
+                            batch_reps=True)
+    assert n == 2  # both reps, batched path
     rep0 = os.path.join(out, "tiny_mono_session", "rep0")
     for f in ["native_2x.png", "SAA.png", "SAA_IBP.png", "LR_mean.png",
               "shifts.json", "metrics.json", "done.flag"]:
