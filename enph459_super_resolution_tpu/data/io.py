@@ -16,12 +16,18 @@ from PIL import Image
 
 
 def load_image(path: str, dtype=np.float32) -> np.ndarray:
-    """Decode an image file to a float array, preserving channels."""
+    """Decode an image file to a float array (0..255 scale), preserving
+    channels.  >8-bit sources are scaled down to match the native libpng
+    path (png_set_scale_16), so results are identical whether or not the
+    C++ loader is built."""
     from ..native import png_loader  # optional C++ fast path
 
     arr = png_loader.load(path)
     if arr is None:
         arr = np.asarray(Image.open(path))
+        if arr.dtype == np.uint16 or (arr.dtype.kind in "iu"
+                                      and arr.dtype.itemsize > 1):
+            arr = (arr.astype(np.float64) * (255.0 / 65535.0))
     return arr.astype(dtype)
 
 

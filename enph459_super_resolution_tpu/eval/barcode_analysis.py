@@ -71,11 +71,17 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default=None,
                    help="output JSON (default: <results_dir>/decode_confidence.json)")
+    p.add_argument("--decoder", default="zxing", choices=["zxing", "none"],
+                   help="'none' dry-runs the harness (every decode yields "
+                        "no result) — usable without the zxing-cpp wheel")
     args = p.parse_args(argv)
 
-    if not HAVE_ZXING:
+    decoder = None
+    if args.decoder == "none":
+        decoder = lambda img: None  # noqa: E731 — explicit stub
+    elif not HAVE_ZXING:
         print("ERROR: zxing-cpp not installed; install the 'zxingcpp' wheel "
-              "to run decode analysis", file=sys.stderr)
+              "or pass --decoder none for a dry run", file=sys.stderr)
         return 2
 
     with open(args.rois) as fp:
@@ -88,7 +94,7 @@ def main(argv=None) -> int:
             print(f"  skip missing session {session}", file=sys.stderr)
             continue
         res = analyse_session(sdir, rois, args.n_trials, args.max_jitter,
-                              args.seed)
+                              args.seed, decoder=decoder)
         results.append(res)
         for r in res["records"]:
             print(f"{session} {r['rep']:>5s} {r['method']:>10s} "

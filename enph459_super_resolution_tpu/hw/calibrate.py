@@ -73,6 +73,9 @@ def closed_loop_auto_exposure(cam: Camera, target_peak: float = 220.0,
             break
         scale = target_peak / max(peak, 1.0)
         cam.exposure = float(np.clip(cam.exposure * scale, 10.0, 1e6))
+        # let the new exposure take effect before the next probe frame (a
+        # real camera's queued frame was exposed with the old setting)
+        sleep_fn(0.05)
     return cam.exposure
 
 

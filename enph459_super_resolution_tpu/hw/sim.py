@@ -81,6 +81,47 @@ class SimConfig:
     fault_empty_burst: int = 0
 
 
+def _render_shifted(coeff_padded, dy_hr, dx_hr, pad: int, factor: int):
+    """Sample the prefiltered HR scene at a TRACED sub-pixel shift and
+    decimate to the sensor grid — ONE compiled program for every shift.
+
+    (An earlier design routed rendering through the solver's per-shift
+    operator matrices; since every capture samples fresh jitter, that
+    built + cached a new ~100 MB matrix set per quantized shift and
+    melted the host.  Traced-shift sampling is shift-agnostic.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h_pad, w_pad = coeff_padded.shape
+    h_hr, w_hr = h_pad - 2 * pad, w_pad - 2 * pad
+    h_lr, w_lr = h_hr // factor, w_hr // factor
+
+    def weights(d):
+        # out(i) = scene(i - d): base = floor(-d), t = frac(-d)
+        s = -d
+        m = jnp.floor(s)
+        t = s - m
+        omt = 1.0 - t
+        w0 = omt * omt * omt / 6.0
+        w1 = 2.0 / 3.0 - t * t + 0.5 * t * t * t
+        w3 = t * t * t / 6.0
+        w2 = 1.0 - (w0 + w1 + w3)
+        return m.astype(jnp.int32), jnp.stack([w0, w1, w2, w3])
+
+    my, wy = weights(dy_hr)
+    mx, wx = weights(dx_hr)
+    acc = jnp.zeros((h_hr, w_hr), coeff_padded.dtype)
+    for i in range(4):
+        for j in range(4):
+            tap = jax.lax.dynamic_slice(
+                coeff_padded, (pad + my + i - 1, pad + mx + j - 1),
+                (h_hr, w_hr))
+            acc = acc + wy[i] * wx[j] * tap
+    # decimate via reshape (strided slices are pathological on this backend)
+    return acc.reshape(h_lr, factor, w_lr, factor)[:, 0, :, 0]
+
+
 class SimulatedRig:
     """One shared physical state: mirror angles + trigger + clock."""
 
@@ -96,6 +137,7 @@ class SimulatedRig:
         self.settled_ms = 1e9  # time since last move (starts settled)
         self.pending_trigger = False
         self._psf = make_gaussian_psf(self.cfg.psf_size, self.cfg.psf_sigma_px)
+        self._coeff = None  # prefiltered blurred scene (lazy, per PSF)
 
     # -- time model: orchestrators call sleep() through the rig ------------
     def sleep(self, seconds: float) -> None:
@@ -111,21 +153,36 @@ class SimulatedRig:
         dx = g * ax + self.rng.normal(0, jitter)
         return dy, dx
 
+    _PAD = 8  # spline taps + max supported |shift| on the HR grid
+
+    def _prefiltered(self):
+        """Blur + spline-prefilter the scene once per PSF (edge-padded)."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import conv2d_same
+        from ..ops.resample import spline_coefficients
+
+        if self._coeff is None:
+            blurred = conv2d_same(jnp.asarray(self.scene), self._psf)
+            coeff = spline_coefficients(blurred, mode="nearest")
+            pad = self._PAD
+            self._coeff = jax.device_put(jnp.pad(coeff, pad, mode="edge"))
+        return self._coeff
+
     def render(self, exposure_us: float) -> np.ndarray:
         """Render one sensor frame at the current mirror state."""
-        from ..sr.classical import _frame_operator_matrices, forward_model_mm
+        import jax
         import jax.numpy as jnp
 
         dy, dx = self.shift_px()
         f = self.cfg.factor
-        # forward model expects LR-unit shifts; quantize the jittered shift
-        # onto a small grid so jit caching stays effective
-        q = 1.0 / 512.0
-        dy_l = round(dy / q) * q
-        dx_l = round(dx / q) * q
-        mats = _frame_operator_matrices(
-            self._psf, (dy_l, dx_l), f, self.cfg.lr_shape, "float32")
-        lr = np.asarray(forward_model_mm(jnp.asarray(self.scene), mats))
+        if max(abs(dy), abs(dx)) * f > self._PAD - 3:
+            raise ValueError(f"simulated shift ({dy:.2f},{dx:.2f}) px "
+                             f"exceeds the rig's supported range")
+        lr = np.asarray(jax.jit(
+            _render_shifted, static_argnames=("pad", "factor"))(
+            self._prefiltered(), jnp.float32(dy * f), jnp.float32(dx * f),
+            self._PAD, f))
 
         gain = exposure_us / self.cfg.base_exposure_us
         lr = lr * gain
@@ -257,7 +314,9 @@ class SimStage:
         self.dof = depth_of_focus_mm
         self.travel = travel
         self._pos = travel[0]
-        rig.defocus_blur_px = self._blur()
+        # apply the initial position's defocus (a freshly-homed stage is
+        # out of focus; the first frame must show it)
+        self.move_absolute(self._pos)
 
     def _blur(self) -> float:
         return abs(self._pos - self.best) / self.dof
@@ -267,11 +326,12 @@ class SimStage:
             raise ValueError(f"position {position_mm} outside soft limits "
                              f"{self.travel}")
         self._pos = float(position_mm)
-        # widen the rig PSF with defocus
+        # widen the rig PSF with defocus; invalidate the prefiltered scene
         sigma = np.sqrt(self.rig.cfg.psf_sigma_px ** 2 + self._blur() ** 2)
         self.rig._psf = make_gaussian_psf(
             max(self.rig.cfg.psf_size,
                 int(2 * np.ceil(3 * sigma) + 1)), sigma)
+        self.rig._coeff = None
 
     def get_position(self) -> float:
         return self._pos

@@ -223,7 +223,10 @@ class BandedOp:
             from .pallas_kernels import pack_banded
 
             starts, bands, _ = pack_banded(op)
-            op.packed = (starts, bands)
+            if (starts + bands.shape[-1] <= n_in).all():
+                op.packed = (starts, bands)
+            # else: lane-padded window exceeds the input (tiny axis) — the
+            # windowed DMA would run off the end; stay on the XLA path
         return op
 
     def row_apply(self, x):

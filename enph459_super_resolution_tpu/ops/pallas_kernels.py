@@ -86,17 +86,30 @@ def pack_banded(op, pad_to: int = 128,
     aligned window starts (HBM slices must divide the sublane tiling)."""
     blk = max(b.shape[0] for b in op.blocks)
     aligned_lo = [(lo // align) * align for lo, _ in op.col_ranges]
+
+    def starts_for(win):
+        max_start = max(((op.n_in - win) // align) * align, 0)
+        return [min(alo, max_start) for alo in aligned_lo]
+
+    # Fixed point: clamping a start DOWN to the aligned in-bounds maximum
+    # can push (hi - start) past the window; widen until every block fits
+    # (converges in <= 2 steps, or degenerates to full width).
     win = max(hi - alo for (_, hi), alo in zip(op.col_ranges, aligned_lo))
     win = -(-win // pad_to) * pad_to
+    while True:
+        win = min(win, -(-op.n_in // pad_to) * pad_to)
+        needed = max(hi - s for (_, hi), s in zip(op.col_ranges,
+                                                  starts_for(win)))
+        if needed <= win or win >= op.n_in:
+            break
+        win = -(-needed // pad_to) * pad_to
+
     n = len(op.blocks)
     bands = np.zeros((n, blk, win), dtype=np.asarray(op.blocks[0]).dtype)
-    starts = np.zeros((n,), dtype=np.int32)
-    max_start = ((op.n_in - win) // align) * align
+    starts = np.asarray(starts_for(win), dtype=np.int32)
     for i, (b, (lo, hi)) in enumerate(zip(op.blocks, op.col_ranges)):
         b = np.asarray(b)
-        start = min(aligned_lo[i], max(max_start, 0))
-        starts[i] = start
-        bands[i, : b.shape[0], lo - start: hi - start] = b
+        bands[i, : b.shape[0], lo - starts[i]: hi - starts[i]] = b
     return starts, bands, blk
 
 

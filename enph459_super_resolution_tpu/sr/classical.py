@@ -171,24 +171,6 @@ def back_project_mm(err, mats):
     return out
 
 
-def shift_and_add_mm(lr_stack, shifts_yx, factor: int, dtype_name: str):
-    """SAA on the MXU: one zoom matrix pair + per-frame shift matrices."""
-    h_lr, w_lr = lr_stack.shape[-2], lr_stack.shape[-1]
-    mz_r = zoom_op_matrix(h_lr, factor, dtype_name=dtype_name)
-    mz_c = zoom_op_matrix(w_lr, factor, dtype_name=dtype_name)
-    up = apply_col(mz_c, apply_row(mz_r, lr_stack))
-    acc = None
-    for i in range(lr_stack.shape[0]):
-        dy, dx = shifts_yx[i]
-        ms_r = shift_op_matrix(h_lr * factor, dy * factor,
-                               dtype_name=dtype_name)
-        ms_c = shift_op_matrix(w_lr * factor, dx * factor,
-                               dtype_name=dtype_name)
-        term = apply_col(ms_c, apply_row(ms_r, up[i]))
-        acc = term if acc is None else acc + term
-    return acc / lr_stack.shape[0]
-
-
 def ibp_step(hr, lr_stack, shifts_yx, psf, factor: int, step: float,
              clip=(0.0, 255.0)):
     """One IBP update over all frames; returns (new_hr, mean MSE)."""
@@ -217,32 +199,6 @@ def ibp(lr_stack, shifts_yx, psf, hr_init, factor: int = UPSAMPLE_FACTOR,
         hr, errs = carry
         hr, mse = ibp_step(hr, lr_stack, shifts_yx, psf, factor, step, clip)
         return hr, errs.at[it].set(mse)
-
-    errs0 = jnp.zeros((n_iter,), dtype=hr_init.dtype)
-    return jax.lax.fori_loop(0, n_iter, body, (hr_init, errs0))
-
-
-def ibp_mm(lr_stack, shifts_yx, psf, hr_init, factor: int = UPSAMPLE_FACTOR,
-           n_iter: int = 80, step: float = IBP_STEP_SIZE,
-           clip=(0.0, 255.0)):
-    """IBP on the MXU path; same semantics as :func:`ibp`."""
-    n = lr_stack.shape[0]
-    dtype_name = str(lr_stack.dtype)
-    lr_shape = lr_stack.shape[-2:]
-    mats = [_frame_operator_matrices(psf, shifts_yx[i], factor, lr_shape,
-                                     dtype_name) for i in range(n)]
-
-    def body(it, carry):
-        hr, errs = carry
-        correction = jnp.zeros_like(hr)
-        total_err = jnp.asarray(0.0, dtype=hr.dtype)
-        for i in range(n):
-            sim = forward_model_mm(hr, mats[i])
-            err = lr_stack[i] - sim
-            total_err = total_err + jnp.mean(err * err)
-            correction = correction + back_project_mm(err, mats[i])
-        hr = jnp.clip(hr + step * correction / n, clip[0], clip[1])
-        return hr, errs.at[it].set(total_err / n)
 
     errs0 = jnp.zeros((n_iter,), dtype=hr_init.dtype)
     return jax.lax.fori_loop(0, n_iter, body, (hr_init, errs0))

@@ -190,18 +190,24 @@ def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
     same_shifts = len({u.shifts for u in pending}) == 1
     if batch_reps and len(pending) > 1 and same_shape and same_shifts:
         timer = StageTimer()
-        with timer.stage("solve"):
+        with timer.stage("solve_batch"):
             stacks = jnp.asarray(np.stack([u.frames for u in pending]))
             batched = solve_batch(stacks, psf, pending[0].shifts,
                                   factor=cfg.upsample_factor,
                                   n_iter=cfg.ibp_iterations, step=cfg.ibp_step)
             batched = {k: np.asarray(v) for k, v in batched.items()}
-        print(f"  batched solve of {len(pending)} unit(s): "
-              f"{timer.as_dict()['solve']:.2f}s")
+        t_batch = timer.as_dict()["solve_batch"]
+        print(f"  batched solve of {len(pending)} unit(s): {t_batch:.2f}s")
         for i, unit in enumerate(pending):
             result = {k: v[i] for k, v in batched.items()}
+            # fresh per-unit timer: the batch solve is amortized evenly so
+            # each metrics.json reports its own share, not the batch total
+            # (and save/figures times don't accumulate across units)
+            unit_timer = StageTimer()
+            unit_timer._t["solve"] = t_batch / len(pending)
+            unit_timer._t["solve_batch_total"] = t_batch
             _write_unit_artifacts(unit, result, cfg, output_base, figures,
-                                  timer)
+                                  unit_timer)
         return len(pending)
 
     n = 0

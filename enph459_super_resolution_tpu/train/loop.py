@@ -70,7 +70,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
                       lr_halve_every=max(steps // 2, 1))
     tx = make_optimizer(cfg)
 
-    ckpt_dir = os.path.join(out_dir, "ckpt")
+    ckpt_dir = os.path.abspath(os.path.join(out_dir, "ckpt"))  # orbax
+    # rejects relative checkpoint paths at save time
     import orbax.checkpoint as ocp
     mngr = ocp.CheckpointManager(
         ocp.test_utils.erase_and_create_empty(ckpt_dir)

@@ -34,14 +34,22 @@ def to_dict(cfg: Any) -> Dict:
 def from_dict(cls: Type[T], data: Dict) -> T:
     """Build a dataclass from a dict, recursing into dataclass fields and
     rejecting unknown keys (typo safety the reference's constants lack)."""
+    import typing
+
     fields = {f.name: f for f in dataclasses.fields(cls)}
     unknown = set(data) - set(fields)
     if unknown:
         raise KeyError(f"unknown config keys for {cls.__name__}: "
                        f"{sorted(unknown)}")
+    # resolve string annotations (`from __future__ import annotations`
+    # stringifies every field type, so fields[...].type is NOT a class)
+    try:
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {name: f.type for name, f in fields.items()}
     kwargs = {}
     for name, value in data.items():
-        ftype = fields[name].type
+        ftype = hints.get(name)
         target = ftype if isinstance(ftype, type) else None
         if target and dataclasses.is_dataclass(target) and \
                 isinstance(value, dict):

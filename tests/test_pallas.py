@@ -61,3 +61,13 @@ def test_packed_pytree_roundtrip():
     op2 = jax.tree.unflatten(treedef, leaves)
     assert op2.packed is not None and len(op2.packed) == 2
     assert op2.col_ranges == op.col_ranges
+
+
+def test_pack_banded_non_multiple_of_align():
+    """Regression: window clamping must not overflow when n_in % 8 != 0."""
+    m = shift_op_matrix(1001, 0.5, dtype_name="float32")  # odd n_in
+    op = BandedOp.from_matrix(m, block=256)
+    starts, bands, blk = pack_banded(op)
+    assert (starts % 8 == 0).all()
+    assert (starts + bands.shape[-1] <= op.n_in).all() or \
+        bands.shape[-1] >= op.n_in  # tiny inputs degenerate to full width

@@ -62,3 +62,38 @@ def test_stage_timer_accumulates():
         pass
     d = t.as_dict()
     assert set(d) == {"a", "b"} and d["a"] >= 0
+
+
+def test_from_dict_with_future_annotations():
+    """Regression: string annotations (from __future__ import annotations)
+    must still recurse into nested dataclasses."""
+    import importlib.util
+    import sys
+    import textwrap
+    import tempfile
+    import os as _os
+
+    src = textwrap.dedent("""
+        from __future__ import annotations
+        import dataclasses
+
+        @dataclasses.dataclass(frozen=True)
+        class In2:
+            gain: float = 1.0
+
+        @dataclasses.dataclass(frozen=True)
+        class Out2:
+            name: str = "x"
+            inner: In2 = dataclasses.field(default_factory=In2)
+    """)
+    with tempfile.TemporaryDirectory() as d:
+        path = _os.path.join(d, "cfgmod_future.py")
+        open(path, "w").write(src)
+        spec = importlib.util.spec_from_file_location("cfgmod_future", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["cfgmod_future"] = mod
+        spec.loader.exec_module(mod)
+        cfg = mod.Out2(inner=mod.In2(gain=7.5))
+        back = from_dict(mod.Out2, to_dict(cfg))
+        assert isinstance(back.inner, mod.In2)
+        assert back.inner.gain == 7.5
