@@ -7,9 +7,10 @@ from .mesh import (
     shard_params_tp,
     shard_train_step,
 )
-from .tiled import halo_exchange, sharded_ibp, tiled_apply
+from .tiled import halo_exchange, sharded_ibp, solve_sharded, tiled_apply
 
 __all__ = [
     "batch_sharding", "make_mesh", "replicated", "shard_params_tp",
-    "shard_train_step", "halo_exchange", "sharded_ibp", "tiled_apply",
+    "shard_train_step", "halo_exchange", "sharded_ibp", "solve_sharded",
+    "tiled_apply",
 ]

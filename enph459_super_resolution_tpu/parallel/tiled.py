@@ -192,3 +192,31 @@ def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
     hr_init = jax.device_put(jnp.asarray(hr_init),
                              NamedSharding(mesh, P(sp_axis, None)))
     return jax.jit(mapped)(lr_stack, hr_init)
+
+
+def solve_sharded(lr_stack, psf, shifts_yx, mesh: Mesh,
+                  factor: int = 2, n_iter: int = 80, step: float = 0.5,
+                  halo_lr: int = 32, sp_axis: str = "sp"):
+    """Full classical solve with the IBP loop spatially sharded.
+
+    Native-2x and SAA are global resampling ops (their endpoint-aligned
+    zoom grid is not translation-invariant, see ``ops.resample``), so they
+    run unsharded — they are two cheap passes; the 50-80x iterated IBP is
+    where the compute lives and runs via :func:`sharded_ibp`.
+
+    Returns the same dict as ``sr.classical.solve``.
+    """
+    from ..sr.classical import solve
+
+    seed = solve(lr_stack, psf, shifts_yx, factor=factor, n_iter=1,
+                 step=step)
+    hr, errs = sharded_ibp(lr_stack, seed["saa"], psf, shifts_yx, mesh,
+                           factor=factor, n_iter=n_iter, step=step,
+                           halo_lr=halo_lr, sp_axis=sp_axis)
+    return {
+        "lr_mean": seed["lr_mean"],
+        "native": seed["native"],
+        "saa": seed["saa"],
+        "ibp": hr,
+        "mse_history": errs,
+    }

@@ -104,3 +104,24 @@ def test_sharded_train_step_runs_and_learns():
     for _ in range(30):
         state, m = step(state, lr, hr)
     assert float(m["loss"]) < l0 * 0.7
+
+
+def test_solve_sharded_matches_single_device():
+    from enph459_super_resolution_tpu.parallel import solve_sharded
+    from enph459_super_resolution_tpu.sr import solve
+
+    mesh = make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(5)
+    psf = make_gaussian_psf()
+    lrs = jnp.asarray(rng.uniform(0, 255, size=(4, 128, 48)), jnp.float32)
+
+    want = solve(lrs, psf, SHIFTS, n_iter=6)
+    got = solve_sharded(lrs, psf, SHIFTS, mesh, n_iter=6, halo_lr=28)
+    for k in ("native", "saa"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=1e-4)
+    # IBP: interiors exact; global-edge band differs (sharded_ibp caveat)
+    np.testing.assert_allclose(np.asarray(got["ibp"])[16:-16],
+                               np.asarray(want["ibp"])[16:-16], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["mse_history"]),
+                               np.asarray(want["mse_history"]), rtol=5e-3)

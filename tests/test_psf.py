@@ -124,3 +124,22 @@ def test_golden_psf_characterization_pos4(reference_root):
     # batched LM vs scipy trf: measured max deviation 0.0025 px on 3/60 fits
     np.testing.assert_allclose(mine, want, atol=5e-3)
     assert abs(mine.mean() - want.mean()) < 1e-3
+
+
+def test_load_measured_psf_real_calibration(reference_root):
+    """Measured-PSF construction from the real beam-shift sweeps: averaged,
+    background-subtracted, normalized, near-Gaussian (rank-limited)."""
+    import os
+    from enph459_super_resolution_tpu.psf import load_measured_psf
+    from enph459_super_resolution_tpu.ops.opmatrix import psf_separable_factors
+
+    k = load_measured_psf(os.path.join(reference_root,
+                                       "calibration_beam_shift/data"),
+                          verbose=False)
+    assert k.shape == (7, 7)
+    assert abs(k.sum() - 1.0) < 1e-12
+    assert k.min() >= 0.0
+    # peak in the centre, energy concentrated
+    assert np.unravel_index(k.argmax(), k.shape) == (3, 3)
+    rows, _ = psf_separable_factors(k, rel_tol=1e-4)
+    assert rows.shape[0] <= 5  # near-separable (Gaussian-like pinhole)
