@@ -186,6 +186,17 @@ class SimulatedRig:
 
         gain = exposure_us / self.cfg.base_exposure_us
         lr = lr * gain
+        if self.cfg.color:
+            # RGGB mosaic from the gray scene: per-site channel gains so the
+            # red plane (``img[0::2, 0::2]``, reference extract_red) carries
+            # the scene and the interleaved G/B sites differ realistically
+            h, w = lr.shape
+            gains = np.empty((h, w))
+            gains[0::2, 0::2] = 1.0   # R
+            gains[0::2, 1::2] = 0.85  # G
+            gains[1::2, 0::2] = 0.85  # G
+            gains[1::2, 1::2] = 0.65  # B
+            lr = lr * gains
         noise = self.rng.normal(0, self.cfg.read_noise, lr.shape) + \
             self.rng.normal(0, 1.0, lr.shape) * np.sqrt(
                 np.maximum(lr, 0)) * self.cfg.shot_noise_scale

@@ -220,3 +220,31 @@ def test_sw_triggered_collection(tmp_path):
     run_dir = tmp_path / "sw" / "swrun"
     assert (run_dir / "results.json").exists()
     assert (run_dir / "images.csv").exists()
+
+
+def test_color_rig_bayer_path_feeds_rgb_workload(tmp_path):
+    """A color rig renders an RGGB mosaic whose red plane carries the
+    scene, so the rgb workloads' extract_red loaders work end to end."""
+    import scipy.ndimage as ndi
+    from enph459_super_resolution_tpu.hw.collect import run_hw_triggered
+    from enph459_super_resolution_tpu.sr.config import WORKLOADS
+
+    rng = np.random.default_rng(4)
+    scene = ndi.gaussian_filter(rng.uniform(0, 255, (192, 256)), 1.5)
+    rig = small_rig(color=True, scene=scene)
+    xpr = SimBeamSteering(rig)
+    cam = SimCamera(rig, hardware_trigger=True)
+    assert cam.is_color
+
+    frame = rig.render(rig.cfg.base_exposure_us)
+    # red sites brighter than blue sites on average (mosaic applied)
+    assert frame[0::2, 0::2].mean() > frame[1::2, 1::2].mean() * 1.2
+
+    res = run_hw_triggered(
+        xpr, cam, str(tmp_path / "c"), tilt_min=0.3125, tilt_max=0.3125,
+        tilt_steps=1, settling_times_ms=(50.0,), num_repeats=1,
+        special_run=False, sleep_fn=lambda s: rig.sleep(s), timestamp="t")
+    assert res["target_shift_px"] == 1.0  # color camera -> full-px target
+    combo = os.path.join(str(tmp_path / "c"), "t", res["combos"][0])
+    units = WORKLOADS["rgb_barcodes"].load(combo)
+    assert units[0].frames.shape == (4, 48, 64)  # red plane = half size
