@@ -71,14 +71,18 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default=None,
                    help="output JSON (default: <results_dir>/decode_confidence.json)")
-    p.add_argument("--decoder", default="zxing", choices=["zxing", "none"],
-                   help="'none' dry-runs the harness (every decode yields "
-                        "no result) — usable without the zxing-cpp wheel")
+    p.add_argument("--decoder", default="zxing",
+                   choices=["zxing", "ean13", "none"],
+                   help="'ean13' uses the built-in pure-Python EAN-13 "
+                        "decoder (eval.ean13, no native wheel needed); "
+                        "'none' dry-runs the harness")
     args = p.parse_args(argv)
 
     decoder = None
     if args.decoder == "none":
         decoder = lambda img: None  # noqa: E731 — explicit stub
+    elif args.decoder == "ean13":
+        from .ean13 import decode as decoder  # noqa: F811
     elif not HAVE_ZXING:
         print("ERROR: zxing-cpp not installed; install the 'zxingcpp' wheel "
               "or pass --decoder none for a dry run", file=sys.stderr)

@@ -132,6 +132,11 @@ class SimulatedRig:
         if scene is None:
             scene = pinhole_scene((h * self.cfg.factor, w * self.cfg.factor))
         self.scene = np.asarray(scene, dtype=np.float32)
+        want = (h * self.cfg.factor, w * self.cfg.factor)
+        if self.scene.shape != want:
+            raise ValueError(
+                f"scene shape {self.scene.shape} must be lr_shape x factor "
+                f"= {want}")
         self.rng = np.random.default_rng(self.cfg.seed)
         self.angles = (0.0, 0.0)
         self.settled_ms = 1e9  # time since last move (starts settled)
