@@ -78,7 +78,7 @@ def save_figures(hr_images: Dict[str, np.ndarray], lr_mean: np.ndarray,
 
 def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
                  output_base: str, figures: bool = True,
-                 force: bool = False) -> Optional[str]:
+                 force: bool = False, engine: str = "mm") -> Optional[str]:
     """Run one SR unit (a session or one rep) end to end.
 
     Returns the output dir, or None when skipped via ``done.flag``
@@ -98,7 +98,8 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
     with timer.stage("solve"):
         result = solve(frames, psf, session.shifts,
                        factor=cfg.upsample_factor,
-                       n_iter=cfg.ibp_iterations, step=cfg.ibp_step)
+                       n_iter=cfg.ibp_iterations, step=cfg.ibp_step,
+                       engine=engine)
         result = {k: np.asarray(v) for k, v in result.items()}  # d2h sync
 
     return _write_unit_artifacts(session, result, cfg, output_base, figures,
@@ -161,7 +162,8 @@ def _write_unit_artifacts(session: SessionData, result: Dict,
 
 def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
                         output_base: str, figures: bool = True,
-                        force: bool = False, batch_reps: bool = False) -> int:
+                        force: bool = False, batch_reps: bool = False,
+                        engine: str = "mm") -> int:
     """Load all units in a session directory and process them.
 
     With ``batch_reps``, same-shaped pending units (e.g. all reps of a
@@ -194,7 +196,8 @@ def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
             stacks = jnp.asarray(np.stack([u.frames for u in pending]))
             batched = solve_batch(stacks, psf, pending[0].shifts,
                                   factor=cfg.upsample_factor,
-                                  n_iter=cfg.ibp_iterations, step=cfg.ibp_step)
+                                  n_iter=cfg.ibp_iterations,
+                                  step=cfg.ibp_step, engine=engine)
             batched = {k: np.asarray(v) for k, v in batched.items()}
         t_batch = timer.as_dict()["solve_batch"]
         print(f"  batched solve of {len(pending)} unit(s): {t_batch:.2f}s")
@@ -213,6 +216,6 @@ def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
     n = 0
     for unit in pending:
         if process_unit(unit, psf, cfg, output_base, figures,
-                        force=True) is not None:
+                        force=True, engine=engine) is not None:
             n += 1
     return n

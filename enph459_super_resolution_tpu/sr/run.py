@@ -50,6 +50,12 @@ def main(argv=None) -> int:
     p.add_argument("--no-figures", action="store_true")
     p.add_argument("--force", action="store_true",
                    help="ignore done.flag sentinels")
+    p.add_argument("--batch-reps", action="store_true",
+                   help="solve same-shaped reps as one vmapped batch "
+                        "(see PERF_NOTES.md for backend caveats)")
+    p.add_argument("--engine", default="mm", choices=["mm", "conv"],
+                   help="compute engine: banded-MXU matmuls (default) or "
+                        "fused tap-sum convs (cross-check path)")
     args = p.parse_args(argv)
 
     cfg = WORKLOADS[args.workload]
@@ -73,7 +79,9 @@ def main(argv=None) -> int:
         print(f"[{i}/{len(sessions)}]", end=" ")
         total += process_session_dir(sdir, psf, cfg, args.output_dir,
                                      figures=not args.no_figures,
-                                     force=args.force)
+                                     force=args.force,
+                                     batch_reps=args.batch_reps,
+                                     engine=args.engine)
     print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
     return 0
 

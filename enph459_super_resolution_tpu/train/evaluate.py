@@ -1,0 +1,102 @@
+"""Standalone neural-SR evaluation CLI.
+
+Restores a checkpoint produced by ``train.loop`` and reports PSNR/SSIM
+(Y channel, border shave = scale — the Set5/Set14 protocol) against the
+bicubic baseline over a directory of HR images (or the hermetic synthetic
+pool when no directory is given).
+
+  python -m enph459_super_resolution_tpu.train.evaluate \
+      --model espcn --scale 2 --channels 1 --run /tmp/sr_train \
+      [--data-dir Set5] [--ema/--raw]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="edsr",
+                   choices=["srcnn", "espcn", "fsrcnn", "edsr", "rrdbnet"])
+    p.add_argument("--scale", type=int, default=4)
+    p.add_argument("--channels", type=int, default=3)
+    p.add_argument("--run", required=True,
+                   help="training output dir containing ckpt/")
+    p.add_argument("--data-dir", default=None,
+                   help="directory of HR evaluation images")
+    p.add_argument("--raw", action="store_true",
+                   help="evaluate raw params instead of EMA weights")
+    p.add_argument("--tiled", action="store_true",
+                   help="use exact tiled inference (large images)")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from ..models import create_model
+    from .data import evaluate_sr, image_pool_from_dir, synthetic_scene_pool
+    from .state import TrainConfig, TrainState, make_optimizer
+
+    kwargs = {"channels": args.channels}
+    if args.model != "srcnn":
+        kwargs["scale"] = args.scale
+    model = create_model(args.model, **kwargs)
+
+    pool = (image_pool_from_dir(args.data_dir, channels=args.channels)
+            if args.data_dir else
+            synthetic_scene_pool(n_images=8, channels=args.channels))
+
+    # template state for orbax restore
+    lr0 = np.zeros((1, 16, 16, args.channels), np.float32)
+    if args.model == "srcnn":
+        from ..ops.resize import bicubic_upsample
+
+        def apply_fn(params, lr):
+            return model.apply(params, bicubic_upsample(lr, args.scale))
+        init_in = np.zeros((1, 16 * args.scale, 16 * args.scale,
+                            args.channels), np.float32)
+    else:
+        apply_fn = model.apply
+        init_in = lr0
+    params = model.init(jax.random.PRNGKey(0), init_in)
+    # train.loop always uses the EDSR-style halving schedule; the optimizer
+    # state template must match its structure for orbax to restore
+    tx = make_optimizer(TrainConfig(lr_halve_every=1))
+    template = TrainState.create(params, tx)
+
+    ckpt_dir = os.path.abspath(os.path.join(args.run, "ckpt"))
+    mngr = ocp.CheckpointManager(ckpt_dir)
+    step = mngr.latest_step()
+    if step is None:
+        print(f"no checkpoints under {ckpt_dir}", file=sys.stderr)
+        return 1
+    state = mngr.restore(step, args=ocp.args.StandardRestore(template))
+    weights = state.params if args.raw else state.ema_params
+
+    if args.tiled:
+        from ..models.infer import tiled_infer
+
+        def run(params, lr):
+            return tiled_infer(model, params, np.asarray(lr))
+    else:
+        run = apply_fn
+
+    metrics = evaluate_sr(run, weights, pool, args.scale)
+    metrics.update(step=int(step), model=args.model, scale=args.scale,
+                   weights="raw" if args.raw else "ema")
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
