@@ -124,12 +124,11 @@ def decode_profile(profile: np.ndarray) -> Optional[str]:
     ends = np.concatenate([changes, [len(binary)]])
     runs = [(bool(binary[s]), e - s) for s, e in zip(starts, ends)]
 
-    # bar-space runs between the quiet zones: 59 elements for EAN-13
-    bars = [(v, w) for v, w in runs]
-    # find candidate start: a bar run beginning a 1-1-1 guard
-    idx = [i for i, (v, _) in enumerate(bars) if v]
+    # candidate starts: any bar run could begin the 1-1-1 start guard;
+    # an EAN-13 spans 59 bar/space elements from there
+    idx = [i for i, (v, _) in enumerate(runs) if v]
     for s in idx:
-        elems = bars[s:]
+        elems = runs[s:]
         if len(elems) < 59:
             continue
         widths = np.array([w for _, w in elems[:59]], dtype=np.float64)

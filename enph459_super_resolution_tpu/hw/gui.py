@@ -159,9 +159,10 @@ def main(argv=None) -> int:
               "headlessly via enph459_super_resolution_tpu.hw.autofocus",
               file=sys.stderr)
         return 2
-    from .sim import SimCamera, SimStage, SimulatedRig, pinhole_scene
+    from .sim import SimCamera, SimConfig, SimStage, SimulatedRig, pinhole_scene
 
-    rig = SimulatedRig(scene=pinhole_scene((384, 512)))
+    rig = SimulatedRig(scene=pinhole_scene((384, 512)),
+                       config=SimConfig(lr_shape=(192, 256)))
     cam = SimCamera(rig)
     stage = SimStage(rig)
     app = QtWidgets.QApplication(argv or sys.argv)

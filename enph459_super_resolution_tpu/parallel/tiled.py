@@ -206,17 +206,21 @@ def solve_sharded(lr_stack, psf, shifts_yx, mesh: Mesh,
 
     Returns the same dict as ``sr.classical.solve``.
     """
-    from ..sr.classical import solve
+    from ..sr.classical import native_upsample
+    from ..sr.classical import shift_and_add as saa_fn
 
-    seed = solve(lr_stack, psf, shifts_yx, factor=factor, n_iter=1,
-                 step=step)
-    hr, errs = sharded_ibp(lr_stack, seed["saa"], psf, shifts_yx, mesh,
+    shifts_key = tuple((float(a), float(b)) for a, b in shifts_yx)
+    lr_stack = jnp.asarray(lr_stack)
+    lr_mean = jnp.mean(lr_stack, axis=0)
+    native = native_upsample(lr_mean, factor)
+    saa = saa_fn(lr_stack, shifts_key, factor)
+    hr, errs = sharded_ibp(lr_stack, saa, psf, shifts_key, mesh,
                            factor=factor, n_iter=n_iter, step=step,
                            halo_lr=halo_lr, sp_axis=sp_axis)
     return {
-        "lr_mean": seed["lr_mean"],
-        "native": seed["native"],
-        "saa": seed["saa"],
+        "lr_mean": lr_mean,
+        "native": native,
+        "saa": saa,
         "ibp": hr,
         "mse_history": errs,
     }

@@ -86,8 +86,17 @@ def main(argv=None) -> int:
     if args.tiled:
         from ..models.infer import tiled_infer
 
-        def run(params, lr):
-            return tiled_infer(model, params, np.asarray(lr))
+        if args.model == "srcnn":
+            # SRCNN runs at HR resolution on a bicubic pre-upsample; tile
+            # the scale-1 trunk over the upsampled image
+            from ..ops.resize import bicubic_upsample
+
+            def run(params, lr):
+                up = np.asarray(bicubic_upsample(lr, args.scale))
+                return tiled_infer(model, params, up, scale=1)
+        else:
+            def run(params, lr):
+                return tiled_infer(model, params, np.asarray(lr))
     else:
         run = apply_fn
 
