@@ -176,9 +176,22 @@ def psf_separable_factors(psf: np.ndarray, rel_tol: float = 1e-6):
 _BAND_BLOCK = int(os.environ.get("SRTPU_BAND_BLOCK", "512"))
 _MM_PRECISION = getattr(jax.lax.Precision,
                         os.environ.get("SRTPU_MM_PRECISION", "HIGHEST"))
-# SRTPU_PALLAS_ROWS=1 executes 2-D row-operator applications through the
+# SRTPU_PALLAS_ROWS executes 2-D row-operator applications through the
 # Pallas banded kernel (ops/pallas_kernels.py) instead of XLA block matmuls.
-_PALLAS_ROWS = os.environ.get("SRTPU_PALLAS_ROWS", "0") == "1"
+# Default 'auto' = on for TPU backends (measured equal-or-faster in the IBP
+# loop since the kernel's outputs moved to HBM + double-buffered DMA), off
+# elsewhere (a compiled Mosaic kernel can't run on CPU).  Resolved lazily so
+# importing this module never initializes a jax backend.
+_PALLAS_ROWS_ENV = os.environ.get("SRTPU_PALLAS_ROWS", "auto")
+
+
+def _pallas_rows_enabled() -> bool:
+    if _PALLAS_ROWS_ENV == "auto":
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except RuntimeError:
+            return False
+    return _PALLAS_ROWS_ENV == "1"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -218,7 +231,7 @@ class BandedOp:
             ranges.append((lo, hi))
         op = cls(blocks, ranges, n_out, n_in)
         if pack_pallas is None:
-            pack_pallas = _PALLAS_ROWS
+            pack_pallas = _pallas_rows_enabled()
         if pack_pallas and len(blocks) > 1:
             from .pallas_kernels import pack_banded
 
@@ -232,13 +245,13 @@ class BandedOp:
     def row_apply(self, x):
         """self @ x along x's row (-2) axis."""
         if self.packed is not None and x.ndim == 2 and \
-                x.shape[-1] % 512 == 0:
+                x.shape[-1] % 256 == 0:
             from .pallas_kernels import _banded_row_pallas
 
             starts, bands = self.packed
             return _banded_row_pallas(
                 jnp.asarray(starts), jnp.asarray(bands, x.dtype), x,
-                self.n_out, int(bands.shape[-1]), 512)
+                self.n_out, int(bands.shape[-1]), 256)
         parts = [
             jnp.einsum("oh,...hw->...ow", jnp.asarray(blk, x.dtype),
                        x[..., lo:hi, :], precision=_MM_PRECISION)
