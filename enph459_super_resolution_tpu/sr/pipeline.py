@@ -162,16 +162,18 @@ def _write_unit_artifacts(session: SessionData, result: Dict,
 
 def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
                         output_base: str, figures: bool = True,
-                        force: bool = False, batch_reps: bool = False,
+                        force: bool = False, batch_reps: bool = True,
                         engine: str = "mm") -> int:
     """Load all units in a session directory and process them.
 
-    With ``batch_reps``, same-shaped pending units (e.g. all reps of a
-    barcode session, ``mono_barcodes/run_sr.py:301``) solve as ONE vmapped
-    device call; artifacts are written per unit exactly as before.  Default
-    OFF: on the current backend the vmapped solve lowers ~47x slower per
-    unit than sequential solves (see PERF_NOTES.md), so sequential is the
-    fast path until that lowering is fixed.
+    With ``batch_reps`` (default ON), same-shaped pending units (e.g. all
+    reps of a barcode session, ``mono_barcodes/run_sr.py:301``) solve as
+    ONE device call; artifacts are written per unit exactly as before.
+    The batched mm solve concatenates reps along H with rep-tiled row
+    operators (see :func:`~.classical.solve_batch`), which measures the
+    same per-rep wall time as sequential solves while paying dispatch and
+    tunnel round-trip costs once — the earlier vmap formulation was ~47x
+    slower per unit and is kept only for the conv engine.
     """
     from .classical import solve_batch
 

@@ -50,9 +50,12 @@ def main(argv=None) -> int:
     p.add_argument("--no-figures", action="store_true")
     p.add_argument("--force", action="store_true",
                    help="ignore done.flag sentinels")
-    p.add_argument("--batch-reps", action="store_true",
-                   help="solve same-shaped reps as one vmapped batch "
-                        "(see PERF_NOTES.md for backend caveats)")
+    p.add_argument("--batch-reps", dest="batch_reps", action="store_true",
+                   default=True,
+                   help="solve same-shaped reps as one batched device call "
+                        "(default; rep-tiled row operators, per-rep-exact)")
+    p.add_argument("--no-batch-reps", dest="batch_reps", action="store_false",
+                   help="solve reps sequentially instead")
     p.add_argument("--engine", default="mm", choices=["mm", "conv"],
                    help="compute engine: banded-MXU matmuls (default) or "
                         "fused tap-sum convs (cross-check path)")
