@@ -15,11 +15,20 @@ Consumers:
     tile interior equal to the unsharded solve to float tolerance while the
     whole 50-80 iteration loop runs distributed.
 
-Boundary semantics: at the two global image edges there is no neighbour;
-halos there are filled with edge-replicated rows, which reproduces the
-resampler's SciPy-compatible 'nearest' (edge pre-pad) behavior to below
-f32 epsilon (the prefilter's symmetric-vs-edge init difference decays as
-|sqrt(3)-2|^halo).
+Boundary semantics: at the two global image edges there is no neighbour.
+For :func:`tiled_apply` halos there are edge-replicated or zero-filled per
+``edge_mode``.  :func:`sharded_ibp` reproduces the unsharded solve's
+boundary condition *exactly* (full-array allclose, no edge trim): each IBP
+stage has its own boundary prior in the unsharded op chain — zero padding
+for the PSF convolutions, SciPy-'nearest' extension of the *blurred* grid
+for the forward shift, 'nearest' extension of the *zero-stuffed* error
+grid (solid rows, not an interleaved pattern) for the back-projection
+shift — so the edge tiles patch their halo contents between stages with
+``jnp.where(axis_index == edge)`` fixups instead of using one halo fill
+for the whole chain.  The only remaining difference is the 'nearest'
+extension's switch from edge-replication to symmetric reflection 25 rows
+past the edge, whose influence re-enters through the spline prefilter's
+IIR tail at |sqrt(3)-2|^25 ~ 1e-15 — below f32 epsilon.
 """
 
 from __future__ import annotations
@@ -31,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..sr.classical import back_project, forward_model
+from ..ops import conv2d_same, correlate2d_same, spline_shift
 
 
 def _edge_block(x, halo: int, axis: int, top: bool):
@@ -120,6 +129,21 @@ def tiled_apply(fn: Callable, img, mesh: Mesh, halo: int,
     return jax.jit(mapped)(img)
 
 
+def _patch_halos(x, halo: int, idx, nsp: int, top_blk, bot_blk):
+    """Replace the outer ``halo`` rows with the given blocks, but only on
+    the devices holding a global edge (``idx == 0`` / ``idx == nsp - 1``).
+    Interior devices keep their exchanged neighbour rows untouched."""
+    top_fixed = jnp.concatenate([top_blk, x[halo:]], axis=0)
+    x = jnp.where(idx == 0, top_fixed, x)
+    bot_fixed = jnp.concatenate([x[:-halo], bot_blk], axis=0)
+    return jnp.where(idx == nsp - 1, bot_fixed, x)
+
+
+def _rep_row(x, row: int, halo: int):
+    """``halo`` copies of row ``row`` — SciPy-'nearest' edge extension."""
+    return jnp.tile(x[row:row + 1], (halo, 1))
+
+
 def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
                 factor: int = 2, n_iter: int = 80, step: float = 0.5,
                 halo_lr: int = 32, sp_axis: str = "sp",
@@ -134,15 +158,19 @@ def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
     float tolerance.  The monitored MSE is computed over interiors only and
     ``pmean``-reduced, matching the unsharded per-iteration MSE.
 
-    Boundary caveat (measured, see tests/test_parallel.py): within ~10 HR
-    rows of the two *global* image edges the sharded result deviates from
-    the unsharded one, because the unsharded op's boundary condition pads
-    the *zero-stuffed* error grid (an interleaved pattern no LR-level halo
-    can reproduce) while the sharded op extends the error field itself.
-    Both are arbitrary boundary priors; the deviation zone does not grow
-    with iterations and everything outside it is float-exact.  Trim ~16
-    edge rows (as the reference's own analyses do when cropping ROIs)
-    when comparing against the single-device solve.
+    Global-edge exactness: the unsharded iteration
+    (``mono_barcodes/run_sr.py:221-240`` semantics) applies a different
+    boundary prior at each stage — zero padding for both PSF convolutions,
+    'nearest' extension of the *blurred* grid before the forward shift, and
+    'nearest' extension of the *zero-stuffed* error grid (solid replicated
+    rows — NOT the interleaved stuff-after-extend pattern) before the
+    back-projection shift.  The edge tiles therefore patch their halo rows
+    between stages (:func:`_patch_halos`): zeros before the blur, the
+    replicated true edge row of the blurred grid before the forward shift,
+    the replicated true edge row of the stuffed grid before the backward
+    shift, and zeros again before the final correlation.  Result: the
+    sharded solve matches the single-device solve over the FULL array
+    (``tests/test_parallel.py`` asserts allclose with no edge trim).
 
     Args:
       lr_stack: (N, h, w) registered LR frames.
@@ -160,22 +188,50 @@ def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
 
     def shard_fn(lr_tile, hr_tile):
         lr_ext = halo_exchange(lr_tile, halo_lr, sp_axis, 1)
+        idx = jax.lax.axis_index(sp_axis)
+        t_lr = lr_tile.shape[1]
+        t_hr = hr_tile.shape[0]
 
         def body(it, carry):
             hr_int, errs = carry
-            hr_ext = halo_exchange(hr_int, halo_hr, sp_axis, 0)
-            correction = jnp.zeros_like(hr_ext)
+            # zero edge halos: the PSF blur's boundary prior is zero padding
+            hr_ext = halo_exchange(hr_int, halo_hr, sp_axis, 0,
+                                   edge_mode="zero")
+            correction = jnp.zeros_like(hr_int)
             mse = jnp.asarray(0.0, dtype=hr_ext.dtype)
             for i in range(n_frames):
-                sim = forward_model(hr_ext, psf, shifts_key[i], factor)
+                dy, dx = shifts_key[i]
+                blurred = conv2d_same(hr_ext, psf)
+                # forward shift sees the 'nearest' extension of the blurred
+                # grid: replicate its true edge rows into the edge halos
+                blurred = _patch_halos(
+                    blurred, halo_hr, idx, nsp,
+                    _rep_row(blurred, halo_hr, halo_hr),
+                    _rep_row(blurred, halo_hr + t_hr - 1, halo_hr))
+                sim = spline_shift(blurred, (dy * factor, dx * factor),
+                                   strides=(factor, factor))
                 err = lr_ext[i] - sim
                 mse = mse + jnp.mean(
-                    jnp.square(err[halo_lr:halo_lr + lr_tile.shape[1]]))
-                correction = correction + back_project(
-                    err, psf, shifts_key[i], factor, hr_ext.shape[-2:])
-            hr_ext = jnp.clip(hr_ext + step * correction / n_frames,
+                    jnp.square(err[halo_lr:halo_lr + t_lr]))
+                # back-projection: zero-stuff the extended error grid, then
+                # give the backward shift the 'nearest' extension of the
+                # STUFFED grid — solid replicated rows at the global edges
+                up = jnp.zeros(hr_ext.shape, dtype=err.dtype)
+                up = up.at[::factor, ::factor].set(err)
+                up = _patch_halos(
+                    up, halo_hr, idx, nsp,
+                    _rep_row(up, halo_hr, halo_hr),
+                    _rep_row(up, halo_hr + t_hr - 1, halo_hr))
+                shifted = spline_shift(up, (-dy * factor, -dx * factor))
+                # the final correlation's boundary prior is zero padding
+                shifted = _patch_halos(
+                    shifted, halo_hr, idx, nsp,
+                    jnp.zeros((halo_hr,) + shifted.shape[1:], shifted.dtype),
+                    jnp.zeros((halo_hr,) + shifted.shape[1:], shifted.dtype))
+                corr = correlate2d_same(shifted, psf)
+                correction = correction + corr[halo_hr:halo_hr + t_hr]
+            hr_int = jnp.clip(hr_int + step * correction / n_frames,
                               clip[0], clip[1])
-            hr_int = hr_ext[halo_hr:halo_hr + hr_tile.shape[0]]
             errs = errs.at[it].set(jax.lax.pmean(mse / n_frames, sp_axis))
             return hr_int, errs
 

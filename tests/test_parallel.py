@@ -75,13 +75,12 @@ def test_sharded_ibp_matches_single_device():
 
     got_hr, got_errs = sharded_ibp(lrs, hr0, psf, SHIFTS, mesh,
                                    factor=2, n_iter=6, step=0.5, halo_lr=28)
-    # MSE monitor: within 0.5% (includes the global-edge deviation zone).
     np.testing.assert_allclose(np.asarray(got_errs), np.asarray(want_errs),
-                               rtol=5e-3)
-    # Everything outside ~16 HR rows of the global top/bottom edges is
-    # float-exact (see sharded_ibp docstring for the boundary caveat).
-    np.testing.assert_allclose(np.asarray(got_hr)[16:-16],
-                               np.asarray(want_hr)[16:-16], atol=1e-3)
+                               rtol=1e-5)
+    # FULL-array parity, global edges included: the per-stage edge-halo
+    # fixups reproduce the unsharded boundary condition exactly.
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(want_hr),
+                               atol=1e-3)
 
 
 def test_sharded_train_step_runs_and_learns():
@@ -120,8 +119,8 @@ def test_solve_sharded_matches_single_device():
     for k in ("native", "saa"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    atol=1e-4)
-    # IBP: interiors exact; global-edge band differs (sharded_ibp caveat)
-    np.testing.assert_allclose(np.asarray(got["ibp"])[16:-16],
-                               np.asarray(want["ibp"])[16:-16], atol=1e-3)
+    # IBP: full-array parity including the global edges
+    np.testing.assert_allclose(np.asarray(got["ibp"]),
+                               np.asarray(want["ibp"]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(got["mse_history"]),
-                               np.asarray(want["mse_history"]), rtol=5e-3)
+                               np.asarray(want["mse_history"]), rtol=1e-5)
