@@ -71,6 +71,15 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out", default=None,
                    help="output JSON (default: <results_dir>/decode_confidence.json)")
+    p.add_argument("--figure", default=None,
+                   help="confidence-vs-pitch PNG with Nyquist overlays "
+                        "(default: <results_dir>/confidence_vs_pitch.png; "
+                        "'none' to skip)")
+    p.add_argument("--pixel-pitch-um", type=float, default=3.45,
+                   help="sensor pixel pitch for the Nyquist markers")
+    p.add_argument("--lr-pitch-factor", type=int, default=2,
+                   help="LR pixel pitch / sensor pitch (2 for the Bayer "
+                        "red plane, 1 for mono)")
     p.add_argument("--decoder", default="zxing",
                    choices=["zxing", "ean13", "none"],
                    help="'ean13' uses the built-in pure-Python EAN-13 "
@@ -111,6 +120,19 @@ def main(argv=None) -> int:
         json.dump({"n_trials": args.n_trials, "max_jitter": args.max_jitter,
                    "seed": args.seed, "sessions": results}, fp, indent=2)
     print(f"wrote {out_path}")
+
+    if args.figure != "none":
+        fig_path = args.figure or os.path.join(args.results_dir,
+                                               "confidence_vs_pitch.png")
+        records = [r for res in results for r in res["records"]]
+        if records:
+            from ..utils.plots import plot_confidence_vs_pitch
+
+            plot_confidence_vs_pitch(records, fig_path,
+                                     pixel_pitch_um=args.pixel_pitch_um,
+                                     lr_pitch_factor=args.lr_pitch_factor,
+                                     n_trials=args.n_trials)
+            print(f"wrote {fig_path}")
     return 0
 
 

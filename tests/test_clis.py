@@ -110,11 +110,14 @@ def test_barcode_analysis_cli_ean13(tmp_path):
     rpath = str(tmp_path / "rois.json")
     json.dump(rois, open(rpath, "w"))
     out = str(tmp_path / "conf.json")
+    fig = str(tmp_path / "conf_vs_pitch.png")
     stdout = run_cli("enph459_super_resolution_tpu.eval.barcode_analysis",
                      str(tmp_path / "results"), "--rois", rpath,
-                     "--decoder", "ean13", "--out", out)
+                     "--decoder", "ean13", "--out", out, "--figure", fig)
     assert digits in stdout
     data = json.load(open(out))
     recs = data["sessions"][0]["records"]
     assert all(r["decoded_text"] == digits for r in recs)
     assert all(r["confidence"] > 0.8 for r in recs)
+    # confidence-vs-pitch figure (reference analysis.ipynb cell 14)
+    assert os.path.exists(fig) and os.path.getsize(fig) > 1000
