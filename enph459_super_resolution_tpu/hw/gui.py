@@ -33,6 +33,73 @@ from .autofocus import DEFAULT_METRIC, FOCUS_METRICS, autofocus_sweep
 
 if HAVE_QT:
 
+    class RoiLabel(QtWidgets.QLabel):
+        """Viewfinder label with drag-select rubber-band ROI (reference
+        ``calibration_autofocus/calibrate_autofocus.py:108-203``).
+
+        Drag a rectangle to select the focus ROI in FRAME coordinates
+        (mapped through the aspect-preserving pixmap scaling); a short
+        click clears it.  Emits ``roi_changed((r0, r1, c0, c1) | None)``.
+        """
+
+        roi_changed = QtCore.pyqtSignal(object)
+
+        def __init__(self):
+            super().__init__()
+            self.setAlignment(QtCore.Qt.AlignCenter)
+            self._band = QtWidgets.QRubberBand(
+                QtWidgets.QRubberBand.Rectangle, self)
+            self._origin = None
+            self._frame_shape = None   # (H, W) of the source frame
+            self._pix_size = None      # displayed pixmap size (QSize)
+
+        def set_frame_geometry(self, frame_shape, pix_size):
+            self._frame_shape = frame_shape[:2]
+            self._pix_size = pix_size
+
+        def mousePressEvent(self, event):
+            self._origin = event.pos()
+            self._band.setGeometry(QtCore.QRect(self._origin, QtCore.QSize()))
+            self._band.show()
+
+        def mouseMoveEvent(self, event):
+            if self._origin is not None:
+                self._band.setGeometry(
+                    QtCore.QRect(self._origin, event.pos()).normalized())
+
+        def mouseReleaseEvent(self, event):
+            if self._origin is None:
+                return
+            rect = QtCore.QRect(self._origin, event.pos()).normalized()
+            self._origin = None
+            self._band.hide()
+            if rect.width() < 5 or rect.height() < 5:
+                self.roi_changed.emit(None)  # click = clear ROI
+                return
+            roi = self._map_to_frame(rect)
+            if roi is not None:
+                self.roi_changed.emit(roi)
+
+        def _map_to_frame(self, rect):
+            """Widget rect -> (r0, r1, c0, c1) in frame pixels, clamped."""
+            if self._frame_shape is None or self._pix_size is None:
+                return None
+            h, w = self._frame_shape
+            pw, ph = self._pix_size.width(), self._pix_size.height()
+            if pw <= 0 or ph <= 0:
+                return None
+            # pixmap is centered in the label (AlignCenter)
+            offx = (self.width() - pw) // 2
+            offy = (self.height() - ph) // 2
+            sx, sy = w / pw, h / ph
+            c0 = int(np.clip((rect.left() - offx) * sx, 0, w - 1))
+            c1 = int(np.clip((rect.right() - offx) * sx, 1, w))
+            r0 = int(np.clip((rect.top() - offy) * sy, 0, h - 1))
+            r1 = int(np.clip((rect.bottom() - offy) * sy, 1, h))
+            if r1 <= r0 or c1 <= c0:
+                return None
+            return (r0, r1, c0, c1)
+
     class CameraThread(QtCore.QThread):
         """Continuous capture loop emitting frames + the live focus metric
         (reference ``calibrate_autofocus.py:208-228``)."""
@@ -85,19 +152,23 @@ if HAVE_QT:
         def _build_ui(self):
             central = QtWidgets.QWidget()
             layout = QtWidgets.QHBoxLayout(central)
-            self.view = QtWidgets.QLabel()
+            self.view = RoiLabel()
             self.view.setMinimumSize(480, 360)
+            self.view.roi_changed.connect(self._on_roi)
             layout.addWidget(self.view, 2)
 
             panel = QtWidgets.QVBoxLayout()
             self.metric_box = QtWidgets.QComboBox()
             self.metric_box.addItems(list(FOCUS_METRICS))
+            self.metric_box.currentTextChanged.connect(self._on_metric)
             panel.addWidget(QtWidgets.QLabel("Focus metric"))
             panel.addWidget(self.metric_box)
             self.metric_label = QtWidgets.QLabel("metric: -")
             panel.addWidget(self.metric_label)
             self.pos_label = QtWidgets.QLabel("stage: -")
             panel.addWidget(self.pos_label)
+            self.roi_label = QtWidgets.QLabel("ROI: full frame (drag to set)")
+            panel.addWidget(self.roi_label)
 
             jog = QtWidgets.QHBoxLayout()
             for txt, d in [("-1", -1.0), ("-0.1", -0.1), ("+0.1", 0.1),
@@ -119,6 +190,16 @@ if HAVE_QT:
             self.stage.move_absolute(self.stage.get_position() + delta_mm)
             self.pos_label.setText(f"stage: {self.stage.get_position():.3f} mm")
 
+        def _on_metric(self, name: str):
+            self.cam_thread.metric_name = name
+
+        def _on_roi(self, roi):
+            self.roi = roi
+            self.cam_thread.roi = roi
+            self.roi_label.setText(
+                f"ROI: rows {roi[0]}-{roi[1]}, cols {roi[2]}-{roi[3]}"
+                if roi else "ROI: full frame (drag to set)")
+
         def _on_frame(self, frame: np.ndarray, metric: float):
             self.metric_label.setText(f"metric: {metric:.4g}")
             img = np.ascontiguousarray(frame)
@@ -130,8 +211,19 @@ if HAVE_QT:
                 qimg = QtGui.QImage(img.data, img.shape[1], img.shape[0],
                                     img.strides[0],
                                     QtGui.QImage.Format_RGB888)
-            self.view.setPixmap(QtGui.QPixmap.fromImage(qimg).scaled(
-                self.view.size(), QtCore.Qt.KeepAspectRatio))
+            pix = QtGui.QPixmap.fromImage(qimg).scaled(
+                self.view.size(), QtCore.Qt.KeepAspectRatio)
+            if self.roi is not None:
+                r0, r1, c0, c1 = self.roi
+                sy = pix.height() / img.shape[0]
+                sx = pix.width() / img.shape[1]
+                painter = QtGui.QPainter(pix)
+                painter.setPen(QtGui.QPen(QtGui.QColor(0, 255, 0), 2))
+                painter.drawRect(int(c0 * sx), int(r0 * sy),
+                                 int((c1 - c0) * sx), int((r1 - r0) * sy))
+                painter.end()
+            self.view.set_frame_geometry(img.shape, pix.size())
+            self.view.setPixmap(pix)
 
         def _start_autofocus(self):
             self.af_btn.setEnabled(False)

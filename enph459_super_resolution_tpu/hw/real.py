@@ -318,14 +318,51 @@ class ZaberStage:
         self._units = Units
         if port:
             self._conn = Connection.open_serial_port(port)
+            devices = self._conn.detect_devices()
         else:
-            ports = Connection.detect_devices  # noqa: B018 (doc parity)
-            self._conn = Connection.open_serial_port("/dev/ttyUSB0")
-        devices = self._conn.detect_devices()
+            self._conn, devices = self._discover(Connection)
         if not devices:
             raise RuntimeError("no Zaber devices found")
         self._axis = devices[0].get_axis(axis_index)
         self.soft_limits = soft_limits_mm
+
+    @staticmethod
+    def _discover(Connection):
+        """Probe candidate serial ports for a responding Zaber chain.
+
+        zaber_motion has no port scanner of its own (``detect_devices`` is
+        a method on an OPEN connection), so enumerate the host's serial
+        ports — pyserial's ``list_ports`` when available, /dev globs
+        otherwise — and return the first connection whose device chain
+        answers."""
+        candidates = []
+        try:
+            from serial.tools import list_ports  # type: ignore
+
+            candidates = [p.device for p in list_ports.comports()]
+        except ImportError:
+            pass
+        if not candidates:
+            import glob
+
+            candidates = sorted(glob.glob("/dev/ttyUSB*")
+                                + glob.glob("/dev/ttyACM*"))
+        for cand in candidates:
+            try:
+                conn = Connection.open_serial_port(cand)
+            except Exception:
+                continue
+            try:
+                devices = conn.detect_devices()
+            except Exception:
+                conn.close()
+                continue
+            if devices:
+                return conn, devices
+            conn.close()
+        raise RuntimeError(
+            "no Zaber devices found on any serial port "
+            f"(probed: {candidates or 'none'}); pass port= explicitly")
 
     def home(self) -> None:
         self._axis.home()
