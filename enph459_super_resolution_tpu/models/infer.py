@@ -41,16 +41,21 @@ def receptive_field_radius(model: nn.Module) -> int:
 
 
 def tiled_infer(model: nn.Module, params, lr, tile: int = 256,
-                halo: Optional[int] = None, scale: Optional[int] = None):
+                halo: Optional[int] = None, scale: Optional[int] = None,
+                batch_tiles: int = 8):
     """SR a full (possibly huge) image by exact overlap-halo tiling.
 
     Args:
       lr: (H, W, C) or (B, H, W, C) float array.
       tile: interior tile size in LR pixels (grid-aligned; edge tiles pad).
       halo: receptive-field radius override in LR pixels.
+      batch_tiles: tiles per device dispatch.  Tiles are independent, so
+        they stack on the batch axis and run as ONE batched apply — on the
+        target backend each dispatch+fetch round trip costs ~0.5 s, so
+        chunking 8 tiles per call cuts a 4K x4 run from ~64 round trips to
+        ~8.  The ragged tail pads with repeated tiles (discarded).
 
-    Single compiled tile graph; tiles stream through it, so peak device
-    memory is O(tile^2) regardless of image size.
+    Peak device memory is O(batch_tiles * tile^2) regardless of image size.
     """
     scale = scale if scale is not None else getattr(model, "scale", 1)
     halo = halo if halo is not None else receptive_field_radius(model)
@@ -74,25 +79,34 @@ def tiled_infer(model: nn.Module, params, lr, tile: int = 256,
     # biases + nonlinearities make layer-2's view of a zero halo differ
     # from its own SAME padding.)  Interior cuts are covered by the
     # receptive-field halo.  Result: bitwise-equal to the whole-image
-    # apply, O(tile^2) peak memory.
-    out = np.zeros((b, h * scale, w * scale, c), dtype=np.float32)
+    # apply, O(batch_tiles * tile^2) peak memory.
+    lr_np = np.asarray(lr)
+    jobs = []  # (y0, x0, t_h, t_w, ys, xs) per tile
     for iy in range(ny):
         for ix in range(nx):
-            y0 = iy * tile
-            x0 = ix * tile
-            t_h = min(tile, h - y0)
-            t_w = min(tile, w - x0)
+            y0, x0 = iy * tile, ix * tile
+            t_h, t_w = min(tile, h - y0), min(tile, w - x0)
             ys = int(np.clip(y0 - halo, 0, h - ext))
             xs = int(np.clip(x0 - halo, 0, w - ext))
-            patch = jax.lax.dynamic_slice(lr, (0, ys, xs, 0),
-                                          (b, ext, ext, c))
-            sr = apply_fn(params, patch)
-            oy = (y0 - ys) * scale
-            ox = (x0 - xs) * scale
-            inner = np.asarray(sr[:, oy: oy + t_h * scale,
-                                  ox: ox + t_w * scale])
+            jobs.append((y0, x0, t_h, t_w, ys, xs))
+
+    out = np.zeros((b, h * scale, w * scale, c), dtype=np.float32)
+    chunk = max(1, min(batch_tiles, len(jobs)))
+    for j0 in range(0, len(jobs), chunk):
+        batch_jobs = jobs[j0: j0 + chunk]
+        # pad the tail chunk by repeating its last job: one compiled shape
+        padded = batch_jobs + [batch_jobs[-1]] * (chunk - len(batch_jobs))
+        patches = np.stack(
+            [lr_np[:, ys: ys + ext, xs: xs + ext]
+             for (_, _, _, _, ys, xs) in padded], axis=0)
+        # (chunk, b, ext, ext, c) -> (chunk*b, ext, ext, c): conv batch
+        sr = apply_fn(params, patches.reshape((-1, ext, ext, c)))
+        sr = np.asarray(sr).reshape((chunk, b, ext * scale, ext * scale, c))
+        for k, (y0, x0, t_h, t_w, ys, xs) in enumerate(batch_jobs):
+            oy, ox = (y0 - ys) * scale, (x0 - xs) * scale
             out[:, y0 * scale: (y0 + t_h) * scale,
-                x0 * scale: (x0 + t_w) * scale] = inner
+                x0 * scale: (x0 + t_w) * scale] = \
+                sr[k, :, oy: oy + t_h * scale, ox: ox + t_w * scale]
     return out[0] if squeeze else out
 
 
