@@ -168,12 +168,16 @@ def psf_separable_factors(psf: np.ndarray, rel_tol: float = 1e-6):
     return rows, cols
 
 
-# Tuned on the target TPU (see PERF_NOTES.md): 512-row blocks are ~10x
-# faster than 256 at these shapes.  SRTPU_MM_PRECISION=DEFAULT buys a
-# further ~2x but loosens uint8 golden parity from +/-1 to +/-3 counts
-# (measured) — HIGHEST is the default because strict reference parity is a
-# contract here.  Override via env SRTPU_BAND_BLOCK / SRTPU_MM_PRECISION.
-_BAND_BLOCK = int(os.environ.get("SRTPU_BAND_BLOCK", "512"))
+# Tuned on the target TPU (see PERF_NOTES.md): a B-row block's nonzero
+# column window spans ~2B+43 columns for the stride-2 forward operators,
+# so smaller blocks cut band FLOPs almost linearly; the measured optimum
+# for the 80-iteration solve is 128 (0.31 s vs 0.63 s at 512 same-day,
+# bit-identical results; 64 starts losing to per-block overheads).
+# SRTPU_MM_PRECISION=DEFAULT buys a further ~2x but loosens uint8 golden
+# parity from +/-1 to +/-3 counts (measured) — HIGHEST is the default
+# because strict reference parity is a contract here.  Override via env
+# SRTPU_BAND_BLOCK / SRTPU_MM_PRECISION.
+_BAND_BLOCK = int(os.environ.get("SRTPU_BAND_BLOCK", "128"))
 _MM_PRECISION = getattr(jax.lax.Precision,
                         os.environ.get("SRTPU_MM_PRECISION", "HIGHEST"))
 # SRTPU_PALLAS_ROWS executes 2-D row-operator applications through the
