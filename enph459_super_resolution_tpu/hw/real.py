@@ -132,6 +132,18 @@ class DahengCamera:
 
     def auto_exposure(self, target_peak: float = 200.0,
                       max_iters: int = 10) -> float:
+        """Closed-loop peak-targeted exposure search.
+
+        Intentional redesign, not a port: the reference's Daheng wrapper
+        delegates to the camera's one-shot ``ExposureAuto`` feature
+        (``api/daheng_camera.py:93-98``), which meters the full frame —
+        its beam-shift calibration then layers its OWN closed peak loop on
+        top (``calibrate_shift_grid.py:309-329``) because full-frame
+        metering under-exposes a pinhole on a dark field.  This wrapper
+        implements the peak loop directly so every caller gets the
+        calibration-grade behavior and the simulator twin can reproduce it
+        deterministically; the one-shot hardware AE remains available on
+        the Allied wrapper (``AlliedCamera.auto_exposure``)."""
         for _ in range(max_iters):
             frame = self.capture_raw().astype(np.float64)
             peak = max(frame.max(), 1.0)
