@@ -248,3 +248,65 @@ def test_color_rig_bayer_path_feeds_rgb_workload(tmp_path):
     combo = os.path.join(str(tmp_path / "c"), "t", res["combos"][0])
     units = WORKLOADS["rgb_barcodes"].load(combo)
     assert units[0].frames.shape == (4, 48, 64)  # red plane = half size
+
+
+def test_zaber_discover_probes_ports(monkeypatch):
+    """ZaberStage._discover scans candidate serial ports and returns the
+    first connection whose device chain answers (hw/real.py)."""
+    from enph459_super_resolution_tpu.hw.real import ZaberStage
+
+    opened, closed = [], []
+
+    class FakeConn:
+        def __init__(self, port, devices):
+            self.port, self._devices = port, devices
+
+        def detect_devices(self):
+            if self._devices is None:
+                raise RuntimeError("no response")
+            return self._devices
+
+        def close(self):
+            closed.append(self.port)
+
+    class FakeConnection:
+        # /dev/fake0 opens but no devices; fake1 fails to open;
+        # fake2 answers with a device chain
+        table = {"/dev/fake0": [], "/dev/fake2": ["dev"]}
+
+        @staticmethod
+        def open_serial_port(port):
+            opened.append(port)
+            if port == "/dev/fake1":
+                raise OSError("busy")
+            return FakeConn(port, FakeConnection.table.get(port))
+
+    import glob as glob_mod
+    monkeypatch.setattr(glob_mod, "glob",
+                        lambda pat: ["/dev/fake0", "/dev/fake1"]
+                        if "USB" in pat else ["/dev/fake2"])
+    # force the glob fallback even if pyserial is importable
+    import sys
+    monkeypatch.setitem(sys.modules, "serial", None)
+
+    conn, devices = ZaberStage._discover(FakeConnection)
+    assert conn.port == "/dev/fake2" and devices == ["dev"]
+    assert opened == ["/dev/fake0", "/dev/fake1", "/dev/fake2"]
+    assert closed == ["/dev/fake0"]  # opened-but-silent ports are closed
+
+
+def test_zaber_discover_no_devices(monkeypatch):
+    from enph459_super_resolution_tpu.hw.real import ZaberStage
+
+    class FakeConnection:
+        @staticmethod
+        def open_serial_port(port):
+            raise OSError("no such port")
+
+    import glob as glob_mod
+    monkeypatch.setattr(glob_mod, "glob", lambda pat: ["/dev/fakeX"])
+    import sys
+    monkeypatch.setitem(sys.modules, "serial", None)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="no Zaber devices"):
+        ZaberStage._discover(FakeConnection)
