@@ -27,7 +27,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
           data_dir: Optional[str] = None, eval_every: int = 500,
           ckpt_every: int = 500, channels: int = 3, dp: bool = True,
           gan: bool = False, seed: int = 0, resume: bool = True,
-          model_kwargs: Optional[dict] = None) -> dict:
+          model_kwargs: Optional[dict] = None,
+          pool_images: int = 32) -> dict:
     """Train a zoo model; returns the final eval metrics."""
     from ..models import VGGStyleDiscriminator, create_model
     from ..parallel import make_mesh, shard_train_step
@@ -46,7 +47,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
                              **kwargs)
 
     pool = (image_pool_from_dir(data_dir, channels=channels) if data_dir
-            else synthetic_scene_pool(channels=channels, seed=seed,
+            else synthetic_scene_pool(n_images=pool_images,
+                                      channels=channels, seed=seed,
                                       size=max(lr_patch * scale + 16, 192)))
     n_eval = max(2, len(pool) // 8)
     eval_pool, train_pool = pool[:n_eval], pool[n_eval:]
@@ -155,6 +157,9 @@ def main(argv=None) -> int:
     p.add_argument("--channels", type=int, default=3)
     p.add_argument("--gan", action="store_true",
                    help="ESRGAN-style adversarial fine-tune")
+    p.add_argument("--pool-images", type=int, default=32,
+                   help="synthetic-pool size when no --data-dir is given "
+                        "(small pools overfit past ~20k steps)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -168,7 +173,7 @@ def main(argv=None) -> int:
                   learning_rate=args.learning_rate, loss=args.loss,
                   out_dir=args.out, data_dir=args.data_dir,
                   channels=args.channels, gan=args.gan,
-                  resume=not args.no_resume)
+                  resume=not args.no_resume, pool_images=args.pool_images)
     print(json.dumps(final))
     return 0
 
