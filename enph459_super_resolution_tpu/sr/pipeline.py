@@ -192,7 +192,11 @@ def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
 
     same_shape = len({u.frames.shape for u in pending}) == 1
     same_shifts = len({u.shifts for u in pending}) == 1
-    if batch_reps and len(pending) > 1 and same_shape and same_shifts:
+    # conv engine has no rep-tiled batch formulation (its 'nearest'
+    # boundary taps would leak across H-concatenated reps) and its vmap
+    # fallback is pathological on the target backend — keep it sequential
+    if batch_reps and engine == "mm" and len(pending) > 1 and same_shape \
+            and same_shifts:
         timer = StageTimer()
         with timer.stage("solve_batch"):
             stacks = jnp.asarray(np.stack([u.frames for u in pending]))
