@@ -71,3 +71,41 @@ def test_pack_banded_non_multiple_of_align():
     assert (starts % 8 == 0).all()
     assert (starts + bands.shape[-1] <= op.n_in).all() or \
         bands.shape[-1] >= op.n_in  # tiny inputs degenerate to full width
+
+
+def test_tiled_op_pallas_matches_xla():
+    """BandedOp.tiled (the batched-solve operator) through the Pallas
+    kernel must equal per-rep XLA applies — including the packed path."""
+    m = shift_op_matrix(512, 1.0, stride=2, n_out=256,
+                        blur_taps=tuple(np.random.rand(7)),
+                        dtype_name="float32")
+    base = BandedOp.from_matrix(m, block=128, pack_pallas=True)
+    base_xla = BandedOp.from_matrix(m, block=128, pack_pallas=False)
+    assert base.packed is not None
+    r = 3
+    op = BandedOp.tiled(base, r)
+    assert op.packed is not None, "uniform-block tiled op must stay packed"
+    x = jnp.asarray(RNG.uniform(0, 255, (r * 512, 512)), jnp.float32)
+    got = np.asarray(banded_row_apply(op, x, interpret=True))
+    # per-rep reference: apply the base op to each H-slice independently
+    for k in range(r):
+        want = np.asarray(base_xla.row_apply(x[k * 512:(k + 1) * 512]))
+        np.testing.assert_allclose(got[k * 256:(k + 1) * 256], want,
+                                   atol=1e-3)
+
+
+def test_tiled_op_nonuniform_blocks_fall_back():
+    """Tiling an op whose last block is shorter must not produce a packed
+    (Pallas) form — padded rows would land mid-array."""
+    m = shift_op_matrix(500, 0.5, dtype_name="float32")  # 500 % 128 != 0
+    base = BandedOp.from_matrix(m, block=128, pack_pallas=True)
+    base_xla = BandedOp.from_matrix(m, block=128, pack_pallas=False)
+    op = BandedOp.tiled(base, 2)
+    assert op.packed is None
+    # the XLA path still matches per-rep applies
+    x = jnp.asarray(RNG.uniform(0, 255, (1000, 256)), jnp.float32)
+    got = np.asarray(op.row_apply(x))
+    for k in range(2):
+        want = np.asarray(base_xla.row_apply(x[k * 500:(k + 1) * 500]))
+        np.testing.assert_allclose(got[k * 500:(k + 1) * 500], want,
+                                   atol=1e-3)
