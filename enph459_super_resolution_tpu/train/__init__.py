@@ -20,6 +20,7 @@ from .state import (
     make_optimizer,
     make_train_step,
 )
+from .vgg import VGG19Features, load_torch_vgg19, make_vgg_feature_fn
 
 __all__ = [
     "PIXEL_LOSSES", "PerceptualLoss", "charbonnier_loss",
@@ -27,4 +28,5 @@ __all__ = [
     "ragan_discriminator_loss", "ragan_generator_loss",
     "GANTrainState", "TrainConfig", "TrainState", "ema_update",
     "make_gan_train_step", "make_optimizer", "make_train_step",
+    "VGG19Features", "load_torch_vgg19", "make_vgg_feature_fn",
 ]

@@ -28,7 +28,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
           ckpt_every: int = 500, channels: int = 3, dp: bool = True,
           gan: bool = False, seed: int = 0, resume: bool = True,
           model_kwargs: Optional[dict] = None,
-          pool_images: int = 32) -> dict:
+          pool_images: int = 32,
+          vgg_weights: Optional[str] = None) -> dict:
     """Train a zoo model; returns the final eval metrics."""
     from ..models import VGGStyleDiscriminator, create_model
     from ..parallel import make_mesh, shard_train_step
@@ -85,11 +86,16 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         d_params = disc.init(jax.random.PRNGKey(seed + 1), hr0[:1])
         d_tx = make_optimizer(cfg)
         from .losses import PerceptualLoss
+        feat_fn = None  # default: weight-free gradient features
+        if vgg_weights:
+            # paper-exact ESRGAN perceptual term (pre-activation conv5_4)
+            from .vgg import load_torch_vgg19, make_vgg_feature_fn
+            feat_fn = make_vgg_feature_fn(load_torch_vgg19(vgg_weights))
         state = GANTrainState(step=jnp.zeros((), jnp.int32),
                               g=TrainState.create(params, tx),
                               d_params=d_params, d_opt_state=d_tx.init(d_params))
         step_fn = make_gan_train_step(apply_fn, disc.apply, tx, d_tx, cfg,
-                                      percep_loss=PerceptualLoss())
+                                      percep_loss=PerceptualLoss(feat_fn))
     else:
         state = TrainState.create(params, tx)
         step_fn = make_train_step(apply_fn, tx, cfg)
@@ -157,6 +163,10 @@ def main(argv=None) -> int:
     p.add_argument("--channels", type=int, default=3)
     p.add_argument("--gan", action="store_true",
                    help="ESRGAN-style adversarial fine-tune")
+    p.add_argument("--vgg-weights", default=None,
+                   help="torchvision vgg19 .pth: use the paper-exact "
+                        "pre-activation conv5_4 perceptual loss (default: "
+                        "weight-free gradient features)")
     p.add_argument("--pool-images", type=int, default=32,
                    help="synthetic-pool size when no --data-dir is given "
                         "(small pools overfit past ~20k steps)")
@@ -173,7 +183,8 @@ def main(argv=None) -> int:
                   learning_rate=args.learning_rate, loss=args.loss,
                   out_dir=args.out, data_dir=args.data_dir,
                   channels=args.channels, gan=args.gan,
-                  resume=not args.no_resume, pool_images=args.pool_images)
+                  resume=not args.no_resume, pool_images=args.pool_images,
+                  vgg_weights=args.vgg_weights)
     print(json.dumps(final))
     return 0
 

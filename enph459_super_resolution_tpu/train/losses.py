@@ -66,10 +66,12 @@ def ragan_generator_loss(real_logits, fake_logits):
 class PerceptualLoss:
     """Feature-space L1 given a feature extractor ``feat_fn(img)->features``.
 
-    The canonical extractor is pre-activation VGG19 conv5_4; when VGG
-    weights are unavailable (this environment has no torchvision weights),
-    :func:`gradient_feature_fn` provides a weight-free edge/structure
-    extractor so the perceptual term stays trainable and testable.
+    The canonical extractor is pre-activation VGG19 conv5_4 — built from a
+    torchvision checkpoint via :mod:`.vgg` (``make_vgg_feature_fn(
+    load_torch_vgg19(path))``).  When VGG weights are unavailable (this
+    environment has no torchvision weight cache), :func:`gradient_feature_fn`
+    provides a weight-free edge/structure extractor so the perceptual term
+    stays trainable and testable.
     """
 
     def __init__(self, feat_fn: Optional[Callable] = None):

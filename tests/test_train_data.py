@@ -177,3 +177,60 @@ def test_gan_loop_checkpoint_roundtrip(tmp_path):
     assert any("g_loss" in l and "d_loss" in l for l in lines)
     assert max(l["step"] for l in lines) == 9
     assert os.path.exists(os.path.join(out, "final_eval.json"))
+
+
+def test_vgg19_features_shapes_and_grad():
+    """VGG19 extractor: correct per-layer shapes, gradients flow through a
+    PerceptualLoss built on it (ESRGAN recipe plumbing)."""
+    from enph459_super_resolution_tpu.train.losses import PerceptualLoss
+    from enph459_super_resolution_tpu.train.vgg import VGG19Features
+
+    model = VGG19Features(layers=("conv1_2", "conv2_1"))
+    x = jnp.asarray(RNG.uniform(0, 255, (1, 16, 16, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    f1, f2 = model.apply(params, x)
+    assert f1.shape == (1, 16, 16, 64)     # block 1, pre-pool
+    assert f2.shape == (1, 8, 8, 128)      # block 2 after 2x2 maxpool
+
+    ploss = PerceptualLoss(lambda im: model.apply(params, im))
+    y = jnp.asarray(RNG.uniform(0, 255, (1, 16, 16, 3)), jnp.float32)
+    g = jax.grad(lambda im: ploss(im, y))(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+    # grayscale input replicates to RGB
+    f1g, _ = model.apply(params, x[..., :1])
+    assert f1g.shape == (1, 16, 16, 64)
+
+
+def test_vgg19_torch_state_dict_parity():
+    """Loading a torchvision-format vgg19 state_dict reproduces torch's own
+    conv arithmetic (OIHW->HWIO layout mapping + ImageNet normalization)."""
+    torch = pytest.importorskip("torch")
+    from enph459_super_resolution_tpu.train.vgg import (
+        IMAGENET_MEAN, IMAGENET_STD, VGG19Features, _TORCH_CONV_INDICES,
+        conv_names, params_from_torch_state_dict,
+    )
+
+    widths = {f"conv{b}_{i + 1}": w
+              for b, n, w in ((1, 2, 64), (2, 2, 128), (3, 4, 256),
+                              (4, 4, 512), (5, 4, 512)) for i in range(n)}
+    tr = np.random.default_rng(3)
+    sd, cin = {}, 3
+    for name, tidx in zip(conv_names(), _TORCH_CONV_INDICES):
+        cout = widths[name]
+        sd[f"features.{tidx}.weight"] = torch.tensor(
+            tr.normal(0, 0.05, (cout, cin, 3, 3)).astype(np.float32))
+        sd[f"features.{tidx}.bias"] = torch.tensor(
+            tr.normal(0, 0.05, cout).astype(np.float32))
+        cin = cout
+    params = params_from_torch_state_dict(sd)
+
+    x = tr.uniform(0, 255, (1, 10, 12, 3)).astype(np.float32)
+    ours = np.asarray(VGG19Features(layers=("conv1_1",)).apply(
+        params, jnp.asarray(x))[0])
+
+    xn = (x / 255.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+    xt = torch.tensor(xn.transpose(0, 3, 1, 2).astype(np.float32))
+    ref = torch.nn.functional.conv2d(
+        xt, sd["features.0.weight"], sd["features.0.bias"], padding=1)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
