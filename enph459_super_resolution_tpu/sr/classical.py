@@ -204,6 +204,21 @@ def ibp(lr_stack, shifts_yx, psf, hr_init, factor: int = UPSAMPLE_FACTOR,
     return jax.lax.fori_loop(0, n_iter, body, (hr_init, errs0))
 
 
+def _fused_ibp_mode() -> str:
+    """SRTPU_FUSED_IBP: '0' (default), '1' (compiled fused-iteration Pallas
+    kernels), 'interpret' (interpreter mode — CPU-testable).
+
+    Default OFF by measurement: at the full reference size the fused
+    whole-iteration kernels are exact (uint8 +/-1) but ~20% SLOWER than the
+    banded-einsum engine (362 vs 292 ms/solve same-session) — the 128-lane
+    window alignment inflates the back-projection's HIGHEST-precision
+    FLOPs ~1.6x, outweighing the ~2x HBM-traffic saving.  Kept as an
+    opt-in engine + regression tests; see ops/pallas_fused_ibp.py."""
+    import os
+
+    return os.environ.get("SRTPU_FUSED_IBP", "0")
+
+
 def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
     """All operator matrices for one solve config, as a device pytree of
     :class:`BandedOp` block decompositions.
@@ -241,6 +256,23 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
                                                       lr_shape, dtype_name)))
                    for s in shifts_yx],
     }
+
+    # Fused-iteration Pallas pack (TPU default): the whole fwd-err and
+    # bwd-update of every frame as two kernels per iteration instead of
+    # ~20 separate banded applies — ~2x less HBM traffic, bit-compatible
+    # contractions (see ops/pallas_fused_ibp.py).
+    mode = _fused_ibp_mode()
+    from ..ops.pallas_fused_ibp import FusedIBP, fused_eligible
+
+    h_lr, w_lr = lr_shape
+    if mode != "0" and fused_eligible(
+            lr_shape, (h_lr * factor, w_lr * factor), dtype_name):
+        frame_mats = [_frame_operator_matrices(psf, s, factor, lr_shape,
+                                               dtype_name)
+                      for s in shifts_yx]
+        mats["fused"] = FusedIBP.build(
+            frame_mats, lr_shape, (h_lr * factor, w_lr * factor), reps=reps,
+            interpret=(mode == "interpret"))
     return jax.device_put(mats)
 
 
@@ -281,8 +313,16 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
 
             def body(it, carry):
                 hr, errs = carry
-                correction = jnp.zeros_like(hr)
                 total_err = jnp.zeros(errs.shape[1:], dtype=hr.dtype)
+                if "fused" in mats:
+                    # whole-iteration Pallas path: 2 kernels, VMEM-resident
+                    # intermediates (ops/pallas_fused_ibp.py)
+                    err = mats["fused"].fwd_err(hr, lr_stack)
+                    for i in range(n):
+                        total_err = total_err + rep_mse(err[i])
+                    hr = mats["fused"].bwd_update(hr, err, step / n, clip)
+                    return hr, errs.at[it].set(total_err / n)
+                correction = jnp.zeros_like(hr)
                 for i in range(n):
                     sim = forward_model_mm(hr, mats["frames"][i])
                     err = lr_stack[i] - sim

@@ -109,3 +109,101 @@ def test_tiled_op_nonuniform_blocks_fall_back():
         want = np.asarray(base_xla.row_apply(x[k * 500:(k + 1) * 500]))
         np.testing.assert_allclose(got[k * 500:(k + 1) * 500], want,
                                    atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# fused whole-iteration IBP kernels (ops/pallas_fused_ibp.py)
+# ---------------------------------------------------------------------------
+
+def _fused_fixture(shifts, h=128, w=256, factor=2, reps=1):
+    from enph459_super_resolution_tpu.sr.classical import (
+        _frame_operator_matrices, make_gaussian_psf,
+    )
+    from enph459_super_resolution_tpu.ops.pallas_fused_ibp import FusedIBP
+
+    psf = make_gaussian_psf()
+    frame_mats = [_frame_operator_matrices(psf, s, factor, (h, w), "float32")
+                  for s in shifts]
+    pack = FusedIBP.build(frame_mats, (h, w), (h * factor, w * factor),
+                          reps=reps, interpret=True)
+    return psf, frame_mats, pack
+
+
+@pytest.mark.parametrize("reps", [1, 2])
+def test_fused_ibp_iteration_matches_unfused(reps):
+    """One fused fwd_err + bwd_update == the unfused banded iteration,
+    including the rep-tiled (batched-solve) row operators."""
+    from enph459_super_resolution_tpu.ops.opmatrix import BandedOp
+    from enph459_super_resolution_tpu.sr.classical import (
+        back_project_mm, forward_model_mm,
+    )
+
+    shifts = ((0.0, 0.0), (0.5, -0.5), (-0.5, 0.5))
+    h, w, factor = 128, 256, 2
+    psf, frame_mats, pack = _fused_fixture(shifts, h, w, factor, reps)
+    n = len(shifts)
+    hr = jnp.asarray(RNG.uniform(0, 255, (reps * h * factor, w * factor)),
+                     jnp.float32)
+    lrs = jnp.asarray(RNG.uniform(0, 255, (n, reps * h, w)), jnp.float32)
+
+    err = np.asarray(pack.fwd_err(hr, lrs))
+    hr2 = np.asarray(pack.bwd_update(hr, jnp.asarray(err), 0.5 / n,
+                                     (0.0, 255.0)))
+
+    def unfused_ops(ms):
+        return tuple([BandedOp.tiled(BandedOp.from_matrix(m, block=128,
+                                                          pack_pallas=False),
+                                     reps) if axis % 2 == 0 else
+                      BandedOp.from_matrix(m, block=128, pack_pallas=False)
+                      for m in mlist]
+                     for axis, mlist in enumerate(ms))
+
+    corr = np.zeros_like(np.asarray(hr))
+    for i, s in enumerate(shifts):
+        mats_i = unfused_ops(frame_mats[i])
+        sim = np.asarray(forward_model_mm(hr, mats_i))
+        want_err = np.asarray(lrs[i]) - sim
+        np.testing.assert_allclose(err[i], want_err, atol=2e-2)
+        corr = corr + np.asarray(back_project_mm(jnp.asarray(want_err),
+                                                 mats_i))
+    want_hr2 = np.clip(np.asarray(hr) + 0.5 * corr / n, 0.0, 255.0)
+    np.testing.assert_allclose(hr2, want_hr2, atol=5e-2)
+
+
+def test_fused_solve_matches_unfused_solve(monkeypatch):
+    """Full solve through SRTPU_FUSED_IBP=interpret equals the unfused mm
+    engine to f32 reordering tolerance on a conforming shape."""
+    from enph459_super_resolution_tpu.sr import classical
+
+    shifts = ((0.5, -0.5), (0.5, 0.5), (-0.5, -0.5), (-0.5, 0.5))
+    psf = classical.make_gaussian_psf()
+    lrs = jnp.asarray(RNG.uniform(0, 255, (4, 128, 256)), jnp.float32)
+
+    monkeypatch.setenv("SRTPU_FUSED_IBP", "0")
+    classical._compiled_solve.cache_clear()
+    want = classical.solve(lrs, psf, shifts, n_iter=6)
+
+    monkeypatch.setenv("SRTPU_FUSED_IBP", "interpret")
+    classical._compiled_solve.cache_clear()
+    got = classical.solve(lrs, psf, shifts, n_iter=6)
+    classical._compiled_solve.cache_clear()
+
+    np.testing.assert_allclose(np.asarray(got["ibp"]),
+                               np.asarray(want["ibp"]), atol=0.1)
+    np.testing.assert_allclose(np.asarray(got["mse_history"]),
+                               np.asarray(want["mse_history"]), rtol=1e-4)
+    # SAA/native are shared paths — must be identical
+    np.testing.assert_array_equal(np.asarray(got["saa"]),
+                                  np.asarray(want["saa"]))
+
+
+def test_fused_ineligible_shapes_fall_back():
+    from enph459_super_resolution_tpu.ops.pallas_fused_ibp import (
+        fused_eligible,
+    )
+
+    assert fused_eligible((1536, 2048), (3072, 4096), "float32")
+    assert fused_eligible((768, 1024), (1536, 2048), "float32")
+    assert not fused_eligible((100, 256), (200, 512), "float32")
+    assert not fused_eligible((128, 200), (256, 400), "float32")
+    assert not fused_eligible((128, 256), (256, 512), "float64")
