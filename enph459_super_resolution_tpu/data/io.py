@@ -65,8 +65,16 @@ def extract_red(img: np.ndarray, row_offset: int = 0, col_offset: int = 0):
 
 
 def save_png(img: np.ndarray, path: str) -> None:
-    """Save a uint8 (or clip-truncated float, reference parity) image."""
+    """Save a uint8 (or clip-truncated float, reference parity) image.
+
+    Uses the native libpng writer when built (PNG is lossless so pixel
+    content is identical): PIL's default encode of one 3072x4096 HR frame
+    costs ~2 s on this 1-core host — several times the whole TPU solve —
+    while the native zlib-1/SUB encode is ~5-8x faster."""
     if img.dtype != np.uint8:
         img = np.clip(img, 0, 255).astype(np.uint8)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    Image.fromarray(img).save(path)
+    from ..native import png_loader
+
+    if not png_loader.save(path, img):
+        Image.fromarray(img).save(path)

@@ -40,6 +40,12 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
     ]
+    if hasattr(lib, "srpng_write"):  # older prebuilt .so may lack it
+        lib.srpng_write.restype = ctypes.c_int
+        lib.srpng_write.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
     _LIB = lib
     return _LIB
 
@@ -102,6 +108,27 @@ def load_batch(paths, n_threads: int = 8):
             arr = arr[:, :, 0]
         out.append(arr)
     return out
+
+
+def save(path: str, img: "np.ndarray", compress_level: int = 1) -> bool:
+    """Encode a uint8 (H, W[, C]) array via libpng; ~5-8x faster than PIL's
+    default encode on this 1-core host (the pipeline's dominant host cost).
+    Returns False (caller falls back to PIL) when unavailable."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "srpng_write"):
+        return False
+    arr = np.ascontiguousarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        c = 1
+    elif arr.ndim == 3 and arr.shape[-1] in (1, 2, 3, 4):
+        h, w, c = arr.shape
+    else:
+        return False
+    rc = lib.srpng_write(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(h), int(w), int(c), int(compress_level))
+    return rc == 0
 
 
 def available() -> bool:

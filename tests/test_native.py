@@ -87,3 +87,29 @@ def test_session_loader_uses_batch_path(native_lib, reference_root):
                                      average_reps=True)
     assert units[0].frames.shape == (4, 768, 1024)
     assert np.isfinite(units[0].frames).all()
+
+
+@pytest.mark.parametrize("shape", [(64, 80), (48, 56, 3)])
+def test_native_writer_lossless_roundtrip(native_lib, tmp_path, shape):
+    """srpng_write -> PIL decode is bit-exact (PNG is lossless; only the
+    encode speed differs from PIL)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    p = str(tmp_path / "w.png")
+    assert native_lib.save(p, img)
+    assert np.array_equal(np.asarray(Image.open(p)), img)
+
+
+def test_save_png_native_path_and_fallback(native_lib, tmp_path, monkeypatch):
+    """data.io.save_png writes identical pixels through the native writer
+    and through the PIL fallback."""
+    from enph459_super_resolution_tpu.data.io import save_png
+
+    img = np.random.default_rng(6).uniform(-20, 280, (32, 40))  # float: clip
+    p1, p2 = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+    save_png(img, p1)
+    monkeypatch.setattr(native_lib, "save", lambda *a, **k: False)
+    save_png(img, p2)
+    a, b = np.asarray(Image.open(p1)), np.asarray(Image.open(p2))
+    assert np.array_equal(a, b)
+    assert a.dtype == np.uint8 and a.max() <= 255
