@@ -29,7 +29,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
           gan: bool = False, seed: int = 0, resume: bool = True,
           model_kwargs: Optional[dict] = None,
           pool_images: int = 32,
-          vgg_weights: Optional[str] = None) -> dict:
+          vgg_weights: Optional[str] = None,
+          init_from: Optional[str] = None) -> dict:
     """Train a zoo model; returns the final eval metrics."""
     from ..models import VGGStyleDiscriminator, create_model
     from ..parallel import make_mesh, shard_train_step
@@ -81,6 +82,24 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         if not (resume and os.path.isdir(ckpt_dir)) else ckpt_dir,
         options=ocp.CheckpointManagerOptions(max_to_keep=2))
 
+    init_ema = None
+    if init_from:
+        # Warm-start from another run's latest checkpoint (the ESRGAN recipe:
+        # PSNR-oriented L1 pretrain, then perceptual/GAN fine-tune from it
+        # with a fresh optimizer).  Same model/optimizer config as the source
+        # run is the caller's contract (StandardRestore needs the pytrees to
+        # match).
+        src = ocp.CheckpointManager(
+            os.path.abspath(os.path.join(init_from, "ckpt")))
+        if src.latest_step() is None:
+            raise FileNotFoundError(f"no checkpoint under {init_from}/ckpt")
+        restored = src.restore(src.latest_step(),
+                               args=ocp.args.StandardRestore(
+                                   TrainState.create(params, tx)))
+        params, init_ema = restored.params, restored.ema_params
+        print(f"initialized generator from {init_from} "
+              f"step {src.latest_step()}")
+
     if gan:
         disc = VGGStyleDiscriminator(nf=32)
         d_params = disc.init(jax.random.PRNGKey(seed + 1), hr0[:1])
@@ -91,13 +110,17 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
             # paper-exact ESRGAN perceptual term (pre-activation conv5_4)
             from .vgg import load_torch_vgg19, make_vgg_feature_fn
             feat_fn = make_vgg_feature_fn(load_torch_vgg19(vgg_weights))
-        state = GANTrainState(step=jnp.zeros((), jnp.int32),
-                              g=TrainState.create(params, tx),
+        g0 = TrainState.create(params, tx)
+        if init_ema is not None:
+            g0 = g0.replace(ema_params=init_ema)
+        state = GANTrainState(step=jnp.zeros((), jnp.int32), g=g0,
                               d_params=d_params, d_opt_state=d_tx.init(d_params))
         step_fn = make_gan_train_step(apply_fn, disc.apply, tx, d_tx, cfg,
                                       percep_loss=PerceptualLoss(feat_fn))
     else:
         state = TrainState.create(params, tx)
+        if init_ema is not None:
+            state = state.replace(ema_params=init_ema)
         step_fn = make_train_step(apply_fn, tx, cfg)
 
     start_step = 0
@@ -170,6 +193,10 @@ def main(argv=None) -> int:
     p.add_argument("--pool-images", type=int, default=32,
                    help="synthetic-pool size when no --data-dir is given "
                         "(small pools overfit past ~20k steps)")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start the (generator) params/EMA from another "
+                        "run dir's latest checkpoint (ESRGAN recipe: L1 "
+                        "pretrain, then --gan fine-tune --init-from it)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -184,7 +211,7 @@ def main(argv=None) -> int:
                   out_dir=args.out, data_dir=args.data_dir,
                   channels=args.channels, gan=args.gan,
                   resume=not args.no_resume, pool_images=args.pool_images,
-                  vgg_weights=args.vgg_weights)
+                  vgg_weights=args.vgg_weights, init_from=args.init_from)
     print(json.dumps(final))
     return 0
 

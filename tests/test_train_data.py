@@ -179,6 +179,45 @@ def test_gan_loop_checkpoint_roundtrip(tmp_path):
     assert os.path.exists(os.path.join(out, "final_eval.json"))
 
 
+def test_gan_finetune_init_from_pretrain(tmp_path):
+    """--init-from warm-starts the GAN generator from an L1 pretrain run's
+    checkpoint (the ESRGAN recipe: PSNR pretrain -> adversarial fine-tune);
+    the generator params/EMA must equal the source checkpoint's, not a fresh
+    init."""
+    import orbax.checkpoint as ocp
+
+    from enph459_super_resolution_tpu.train.loop import train
+    from enph459_super_resolution_tpu.train.state import (
+        GANTrainState, TrainState)
+
+    pre = str(tmp_path / "pre")
+    train(model_name="espcn", scale=2, steps=4, batch=2, lr_patch=12,
+          channels=1, out_dir=pre, eval_every=4, ckpt_every=4, dp=False)
+    gan = str(tmp_path / "gan")
+    train(model_name="espcn", scale=2, steps=2, batch=2, lr_patch=12,
+          channels=1, out_dir=gan, eval_every=2, ckpt_every=1, dp=False,
+          gan=True, init_from=pre)
+
+    # step-1 GAN checkpoint == pretrain params after exactly one Adam update
+    def leaves(tree):
+        return jax.tree.leaves(tree)
+
+    pre_mngr = ocp.CheckpointManager(os.path.join(pre, "ckpt"))
+    gan_mngr = ocp.CheckpointManager(os.path.join(gan, "ckpt"))
+    assert gan_mngr.latest_step() == 2
+    pre_state = pre_mngr.restore(pre_mngr.latest_step())
+    gan_state = gan_mngr.restore(1)
+    for a, b in zip(leaves(pre_state["params"]), leaves(gan_state["g"]["params"])):
+        # one optimizer step of drift, not a re-init: Adam moves each weight
+        # by at most ~lr (1e-4) per step
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-3
+
+    with pytest.raises(FileNotFoundError):
+        train(model_name="espcn", scale=2, steps=1, batch=2, lr_patch=12,
+              channels=1, out_dir=str(tmp_path / "x"), dp=False, gan=True,
+              init_from=str(tmp_path / "nonexistent"))
+
+
 def test_vgg19_features_shapes_and_grad():
     """VGG19 extractor: correct per-layer shapes, gradients flow through a
     PerceptualLoss built on it (ESRGAN recipe plumbing)."""
