@@ -114,9 +114,9 @@ def _banded_row_pallas(starts, bands, x, n_out: int, win: int,
         in_specs=[
             pl.BlockSpec((1, blk, win), lambda b, wt, starts: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # out stays in HBM
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # out stays in HBM
         scratch_shapes=[
             pltpu.VMEM((2, win, w_tile), x.dtype),   # double-buffered in
             pltpu.VMEM((2, blk, w_tile), x.dtype),   # double-buffered out
