@@ -1,0 +1,380 @@
+"""Vendor-SDK wrapper logic driven against fake SDK modules.
+
+`hw/real.py` mirrors the reference's hardware wrappers
+(`api/daheng_camera.py`, `api/allied_vision_camera.py`,
+`api/xpr_controller.py`); the vendor SDKs are absent in CI, so these tests
+inject minimal fakes into ``sys.modules`` and assert the wrapper-side
+contracts: trigger configuration, timeout math, closed-loop auto exposure,
+burst-callback threading, and the GPIO pulse protocol.
+"""
+
+import sys
+import threading
+import types
+
+import numpy as np
+import pytest
+
+
+# --------------------------------------------------------------------------
+# fake gxipy (Daheng)
+# --------------------------------------------------------------------------
+
+class _Feature:
+    def __init__(self, value=0.0):
+        self.value = value
+        self.history = []
+
+    def get(self):
+        return self.value
+
+    def set(self, v):
+        self.value = v
+        self.history.append(v)
+
+    def send_command(self):
+        self.history.append("sent")
+
+    def is_implemented(self):
+        return bool(self.value)
+
+
+class _FakeStream:
+    def __init__(self, cam):
+        self._cam = cam
+        self.timeouts = []
+
+    def get_image(self, timeout=None):
+        self.timeouts.append(timeout)
+        if self._cam.frames is None:
+            return None
+
+        class Img:
+            def __init__(self, arr):
+                self._arr = arr
+
+            def get_numpy_array(self):
+                return self._arr
+
+        return Img(self._cam.frames(self._cam))
+
+
+class _FakeGxCamera:
+    def __init__(self):
+        self.TriggerMode = _Feature()
+        self.TriggerSource = _Feature()
+        self.TriggerActivation = _Feature()
+        self.TriggerSoftware = _Feature()
+        self.ExposureTime = _Feature(10000.0)
+        self.Gain = _Feature(0.0)
+        self.Width = _Feature(64)
+        self.Height = _Feature(48)
+        self.PixelColorFilter = _Feature(0)
+        self.BalanceWhiteAuto = _Feature()
+        self.data_stream = [_FakeStream(self)]
+        self.frames = lambda cam: np.full((48, 64), 100, np.uint8)
+        self.calls = []
+
+    def stream_on(self):
+        self.calls.append("stream_on")
+
+    def stream_off(self):
+        self.calls.append("stream_off")
+
+    def close_device(self):
+        self.calls.append("close_device")
+
+
+def _install_fake_gxipy(monkeypatch, cam):
+    gx = types.ModuleType("gxipy")
+    gx.GxSwitchEntry = types.SimpleNamespace(ON="ON", OFF="OFF")
+    gx.GxTriggerSourceEntry = types.SimpleNamespace(
+        SOFTWARE="SOFTWARE", LINE0="LINE0", LINE2="LINE2", LINE3="LINE3")
+    gx.GxTriggerActivationEntry = types.SimpleNamespace(
+        RISINGEDGE="RISINGEDGE")
+    gx.GxAutoEntry = types.SimpleNamespace(ONCE="ONCE")
+
+    class DeviceManager:
+        def update_device_list(self):
+            return 1, [{"sn": "FAKE1"}]
+
+        def open_device_by_sn(self, sn):
+            cam.opened_by = ("sn", sn)
+            return cam
+
+        def open_device_by_index(self, idx):
+            cam.opened_by = ("index", idx)
+            return cam
+
+    gx.DeviceManager = DeviceManager
+    monkeypatch.setitem(sys.modules, "gxipy", gx)
+    return gx
+
+
+def test_daheng_sw_trigger_capture_and_timeout_math(monkeypatch):
+    cam = _FakeGxCamera()
+    _install_fake_gxipy(monkeypatch, cam)
+    from enph459_super_resolution_tpu.hw.real import DahengCamera
+
+    d = DahengCamera()
+    assert cam.opened_by == ("index", 1)
+    assert cam.TriggerMode.value == "ON"
+    assert cam.TriggerSource.value == "SOFTWARE"
+    assert "stream_on" in cam.calls
+
+    d.exposure = 500000.0  # 0.5 s
+    frame = d.capture_raw()
+    assert frame.shape == (48, 64)
+    # the software trigger command fired and the timeout is exposure+2 s
+    # (reference `api/daheng_camera.py:54-75`)
+    assert cam.TriggerSoftware.history == ["sent"]
+    assert cam.data_stream[0].timeouts[-1] == int(500000 / 1000 + 2000)
+
+    d.close()
+    assert cam.calls[-2:] == ["stream_off", "close_device"]
+
+
+def test_daheng_hw_trigger_line_and_timeout_error(monkeypatch):
+    cam = _FakeGxCamera()
+    _install_fake_gxipy(monkeypatch, cam)
+    from enph459_super_resolution_tpu.hw.real import DahengCamera
+
+    d = DahengCamera(serial="FAKE1", hardware_trigger=True,
+                     trigger_line="line2")
+    assert cam.opened_by == ("sn", "FAKE1")
+    assert cam.TriggerSource.value == "LINE2"
+    assert cam.TriggerActivation.value == "RISINGEDGE"
+
+    cam.frames = None  # no frame arrives
+    with pytest.raises(TimeoutError):
+        d.capture_raw()
+    # hardware-trigger mode must NOT send a software trigger
+    assert cam.TriggerSoftware.history == []
+
+
+def test_daheng_auto_exposure_closed_loop(monkeypatch):
+    """The peak-targeted loop scales exposure toward the target and stops
+    inside the +/-10-count deadband (intentional redesign documented in
+    `DahengCamera.auto_exposure`)."""
+    cam = _FakeGxCamera()
+    _install_fake_gxipy(monkeypatch, cam)
+
+    # frame peak proportional to exposure: peak = exposure / 100
+    cam.frames = lambda c: np.full(
+        (8, 8), min(c.ExposureTime.value / 100.0, 255.0), np.float64)
+
+    from enph459_super_resolution_tpu.hw.real import DahengCamera
+
+    d = DahengCamera()
+    d.exposure = 2000.0  # peak 20, far from target 200
+    final = d.auto_exposure(target_peak=200.0)
+    assert abs(final / 100.0 - 200.0) < 10
+
+
+# --------------------------------------------------------------------------
+# fake vmbpy (Allied Vision)
+# --------------------------------------------------------------------------
+
+class _FakeVmbCamera:
+    def __init__(self):
+        self.features = {"Width": _Feature(32), "Height": _Feature(24),
+                         "ExposureTime": _Feature(20000.0),
+                         "ExposureAuto": _Feature(),
+                         "Gain": _Feature(0.0)}
+        self.pixel_format = None
+        self.streaming = None
+        self.calls = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.calls.append("cam_exit")
+
+    def set_pixel_format(self, fmt):
+        self.pixel_format = fmt
+
+    def get_feature_by_name(self, name):
+        return self.features[name]
+
+    def get_frame(self):
+        class Frame:
+            def as_numpy_ndarray(self):
+                return np.arange(24 * 32, dtype=np.uint8).reshape(24, 32, 1)
+
+        return Frame()
+
+    def start_streaming(self, handler):
+        self.streaming = handler
+        # deliver frames from a thread, as VmbPy does
+        def pump():
+            class Frame:
+                def as_numpy_ndarray(self):
+                    return np.zeros((24, 32, 1), np.uint8)
+
+            for _ in range(50):
+                if self.streaming is None:
+                    break
+                handler(self, None, Frame())
+
+        self._t = threading.Thread(target=pump, daemon=True)
+        self._t.start()
+
+    def stop_streaming(self):
+        self.streaming = None
+        self.calls.append("stop_streaming")
+
+    def queue_frame(self, frame):
+        pass
+
+
+def _install_fake_vmbpy(monkeypatch, cam):
+    vmb = types.ModuleType("vmbpy")
+    vmb.PixelFormat = types.SimpleNamespace(Mono8="Mono8")
+
+    class VmbSystem:
+        _inst = None
+
+        @classmethod
+        def get_instance(cls):
+            cls._inst = cls()
+            return cls._inst
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            cam.calls.append("vmb_exit")
+
+        def get_all_cameras(self):
+            return [cam]
+
+    vmb.VmbSystem = VmbSystem
+    monkeypatch.setitem(sys.modules, "vmbpy", vmb)
+    return vmb
+
+
+def test_allied_capture_and_exposure(monkeypatch):
+    cam = _FakeVmbCamera()
+    _install_fake_vmbpy(monkeypatch, cam)
+    from enph459_super_resolution_tpu.hw.real import AlliedCamera
+
+    a = AlliedCamera()
+    assert cam.pixel_format == "Mono8"
+    assert (a.width, a.height) == (32, 24)
+    frame = a.capture()  # reference method name
+    assert frame.shape == (24, 32)  # channel axis stripped
+    a.auto_exposure()
+    assert cam.features["ExposureAuto"].history == ["Once"]
+    a.close()
+    assert "cam_exit" in cam.calls and "vmb_exit" in cam.calls
+
+
+def test_allied_stream_burst_collects_n_with_relative_stamps(monkeypatch):
+    cam = _FakeVmbCamera()
+    _install_fake_vmbpy(monkeypatch, cam)
+    from enph459_super_resolution_tpu.hw.real import AlliedCamera
+
+    a = AlliedCamera()
+    seen = []
+    frames, stamps = a.stream_burst(5, callback=lambda f, ms: seen.append(ms))
+    assert len(frames) == 5 and len(stamps) == 5 and len(seen) == 5
+    assert stamps[0] == 0.0  # relative-ms protocol
+    assert all(b >= a_ for a_, b in zip(stamps, stamps[1:]))
+    assert "stop_streaming" in cam.calls
+
+
+# --------------------------------------------------------------------------
+# fake optoICC (XPR mirror)
+# --------------------------------------------------------------------------
+
+def _install_fake_optoicc(monkeypatch):
+    class Static:
+        def __init__(self):
+            self.values = []
+
+        def SetAsInput(self):
+            self.as_input = True
+
+        def SetValue(self, v):
+            self.values.append(v)
+
+    class Channel:
+        def __init__(self):
+            self.StaticInput = Static()
+            self.modes = []
+
+        def SetControlMode(self, m):
+            self.modes.append(m)
+
+    class Gpio:
+        def __init__(self):
+            self.log = []
+
+        def SetAsOutput(self):
+            self.log.append("output")
+
+        def SetValue(self, v):
+            self.log.append(v)
+
+    class ICC:
+        def __init__(self):
+            self.channel = [Channel(), Channel()]
+            self.gpio = [Gpio()]
+            self.calls = []
+
+        def reset(self, force=False):
+            self.calls.append(("reset", force))
+
+        def go_pro(self):
+            self.calls.append("go_pro")
+
+        def disconnect(self):
+            self.calls.append("disconnect")
+
+    icc_inst = ICC()
+    opto = types.ModuleType("optoICC")
+    opto.connect = lambda port=None: icc_inst
+    kum = types.ModuleType("optoKummenberg")
+    tools = types.ModuleType("optoKummenberg.tools")
+    defs = types.ModuleType("optoKummenberg.tools.definitions")
+    defs.UnitType = types.SimpleNamespace(UNITLESS="UNITLESS")
+    monkeypatch.setitem(sys.modules, "optoICC", opto)
+    monkeypatch.setitem(sys.modules, "optoKummenberg", kum)
+    monkeypatch.setitem(sys.modules, "optoKummenberg.tools", tools)
+    monkeypatch.setitem(sys.modules, "optoKummenberg.tools.definitions", defs)
+    return icc_inst
+
+
+def test_xpr_connect_protocol_and_angles(monkeypatch):
+    icc = _install_fake_optoicc(monkeypatch)
+    from enph459_super_resolution_tpu.hw.real import XPRController
+
+    x = XPRController()
+    # reference `api/xpr_controller.py:10-27`: reset -> go_pro -> both
+    # channels StaticInput/UNITLESS
+    assert icc.calls[:2] == [("reset", True), "go_pro"]
+    for ch in icc.channel:
+        assert ch.modes == ["UNITLESS"] and ch.StaticInput.as_input
+
+    x.set_angles(0.28, -0.28)
+    assert icc.channel[0].StaticInput.values[-1] == 0.28
+    assert icc.channel[1].StaticInput.values[-1] == -0.28
+    x.set_home()
+    assert icc.channel[0].StaticInput.values[-1] == 0.0
+
+    x.close()
+    assert icc.calls[-1] == "disconnect"
+
+
+def test_xpr_gpio_pulse_protocol(monkeypatch):
+    icc = _install_fake_optoicc(monkeypatch)
+    from enph459_super_resolution_tpu.hw.real import XPRController
+
+    x = XPRController()
+    with pytest.raises(RuntimeError, match="setup_trigger_output"):
+        x.send_trigger_pulse()
+    x.setup_trigger_output()
+    x.send_trigger_pulse(width_us=10.0)
+    # output mode, idle-low init, then a 1 -> 0 pulse
+    assert icc.gpio[0].log == ["output", 0, 1, 0]
