@@ -31,6 +31,35 @@ except ImportError:
 from .autofocus import DEFAULT_METRIC, FOCUS_METRICS, autofocus_sweep
 
 
+def map_widget_rect_to_frame(rect_ltrb, widget_size, pix_size, frame_shape):
+    """Map a widget-space selection rect to frame-pixel ROI, or None.
+
+    Pure geometry of the drag-ROI rubber band (reference
+    ``calibration_autofocus/calibrate_autofocus.py:108-203``), kept
+    Qt-free so it is testable headlessly: the displayed pixmap of size
+    ``pix_size`` = (pw, ph) is centered (AlignCenter) inside the widget of
+    ``widget_size`` = (W, H); ``rect_ltrb`` = (left, top, right, bottom)
+    in widget px.  Returns ``(r0, r1, c0, c1)`` clamped to the
+    ``frame_shape`` = (h, w) source frame, or None when degenerate.
+    """
+    left, top, right, bottom = rect_ltrb
+    wi, hi = widget_size
+    pw, ph = pix_size
+    h, w = frame_shape[:2]
+    if pw <= 0 or ph <= 0:
+        return None
+    offx = (wi - pw) // 2
+    offy = (hi - ph) // 2
+    sx, sy = w / pw, h / ph
+    c0 = int(np.clip((left - offx) * sx, 0, w - 1))
+    c1 = int(np.clip((right - offx) * sx, 1, w))
+    r0 = int(np.clip((top - offy) * sy, 0, h - 1))
+    r1 = int(np.clip((bottom - offy) * sy, 1, h))
+    if r1 <= r0 or c1 <= c0:
+        return None
+    return (r0, r1, c0, c1)
+
+
 if HAVE_QT:
 
     class RoiLabel(QtWidgets.QLabel):
@@ -84,21 +113,11 @@ if HAVE_QT:
             """Widget rect -> (r0, r1, c0, c1) in frame pixels, clamped."""
             if self._frame_shape is None or self._pix_size is None:
                 return None
-            h, w = self._frame_shape
-            pw, ph = self._pix_size.width(), self._pix_size.height()
-            if pw <= 0 or ph <= 0:
-                return None
-            # pixmap is centered in the label (AlignCenter)
-            offx = (self.width() - pw) // 2
-            offy = (self.height() - ph) // 2
-            sx, sy = w / pw, h / ph
-            c0 = int(np.clip((rect.left() - offx) * sx, 0, w - 1))
-            c1 = int(np.clip((rect.right() - offx) * sx, 1, w))
-            r0 = int(np.clip((rect.top() - offy) * sy, 0, h - 1))
-            r1 = int(np.clip((rect.bottom() - offy) * sy, 1, h))
-            if r1 <= r0 or c1 <= c0:
-                return None
-            return (r0, r1, c0, c1)
+            return map_widget_rect_to_frame(
+                (rect.left(), rect.top(), rect.right(), rect.bottom()),
+                (self.width(), self.height()),
+                (self._pix_size.width(), self._pix_size.height()),
+                self._frame_shape)
 
     class CameraThread(QtCore.QThread):
         """Continuous capture loop emitting frames + the live focus metric

@@ -367,6 +367,31 @@ def test_xpr_connect_protocol_and_angles(monkeypatch):
     assert icc.calls[-1] == "disconnect"
 
 
+def test_gui_roi_mapping_headless():
+    """Drag-ROI rubber-band geometry (Qt-free core of `hw/gui.py`): the
+    pixmap is centered in the widget; selections map through offset+scale
+    into clamped frame coordinates."""
+    from enph459_super_resolution_tpu.hw.gui import map_widget_rect_to_frame
+
+    # widget 200x100, pixmap 100x50 centered -> offsets (50, 25);
+    # frame 480x640 -> scale x 6.4, y 9.6
+    roi = map_widget_rect_to_frame((60, 35, 80, 45), (200, 100), (100, 50),
+                                   (480, 640))
+    assert roi == (96, 192, 64, 192)
+
+    # selection hanging off the pixmap edge clamps to the frame
+    r0, r1, c0, c1 = map_widget_rect_to_frame(
+        (0, 0, 300, 200), (200, 100), (100, 50), (480, 640))
+    assert (r0, c0) == (0, 0) and (r1, c1) == (480, 640)
+
+    # degenerate pixmap -> None; a selection entirely left of the pixmap
+    # clamps to the 1-px frame edge (original rubber-band semantics)
+    assert map_widget_rect_to_frame((0, 0, 10, 10), (200, 100), (0, 0),
+                                    (480, 640)) is None
+    assert map_widget_rect_to_frame((0, 0, 10, 10), (200, 100), (100, 50),
+                                    (480, 640)) == (0, 1, 0, 1)
+
+
 def test_xpr_gpio_pulse_protocol(monkeypatch):
     icc = _install_fake_optoicc(monkeypatch)
     from enph459_super_resolution_tpu.hw.real import XPRController
