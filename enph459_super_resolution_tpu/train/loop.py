@@ -193,6 +193,11 @@ def main(argv=None) -> int:
     p.add_argument("--pool-images", type=int, default=32,
                    help="synthetic-pool size when no --data-dir is given "
                         "(small pools overfit past ~20k steps)")
+    p.add_argument("--model-kwargs", default=None,
+                   help='JSON dict of extra model constructor kwargs, e.g. '
+                        '\'{"nb": 8}\' for a smaller RRDBNet or '
+                        '\'{"n_resblocks": 8, "n_feats": 32}\' for '
+                        'EDSR-small')
     p.add_argument("--init-from", default=None,
                    help="warm-start the (generator) params/EMA from another "
                         "run dir's latest checkpoint (ESRGAN recipe: L1 "
@@ -211,7 +216,9 @@ def main(argv=None) -> int:
                   out_dir=args.out, data_dir=args.data_dir,
                   channels=args.channels, gan=args.gan,
                   resume=not args.no_resume, pool_images=args.pool_images,
-                  vgg_weights=args.vgg_weights, init_from=args.init_from)
+                  vgg_weights=args.vgg_weights, init_from=args.init_from,
+                  model_kwargs=(json.loads(args.model_kwargs)
+                                if args.model_kwargs else None))
     print(json.dumps(final))
     return 0
 
