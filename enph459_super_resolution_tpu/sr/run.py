@@ -59,6 +59,15 @@ def main(argv=None) -> int:
     p.add_argument("--engine", default="mm", choices=["mm", "conv"],
                    help="compute engine: banded-MXU matmuls (default) or "
                         "fused tap-sum convs (cross-check path)")
+    p.add_argument("--watch", type=float, default=None, metavar="SECONDS",
+                   help="serve mode: after processing existing sessions, "
+                        "keep polling --data-dir every SECONDS for new ones "
+                        "(done.flag keeps completed units idempotent; a "
+                        "session that fails to load — e.g. still being "
+                        "written by collection — is deferred to the next "
+                        "poll)")
+    p.add_argument("--watch-polls", type=int, default=None,
+                   help="stop after this many watch polls (default: forever)")
     args = p.parse_args(argv)
 
     cfg = WORKLOADS[args.workload]
@@ -69,23 +78,50 @@ def main(argv=None) -> int:
     else:
         psf = make_gaussian_psf(cfg.psf_size, cfg.psf_sigma)
 
-    sessions = discover_sessions(args.data_dir)
-    if args.session:
-        sessions = [s for s in sessions if s.endswith(args.session)]
-    if not sessions:
-        print(f"no sessions found in {args.data_dir}", file=sys.stderr)
-        return 1
+    def run_one(sdir: str, tag: str) -> int:
+        print(tag, end=" ")
+        return process_session_dir(sdir, psf, cfg, args.output_dir,
+                                   figures=not args.no_figures,
+                                   force=args.force,
+                                   batch_reps=args.batch_reps,
+                                   engine=args.engine)
 
-    t0 = time.time()
-    total = 0
-    for i, sdir in enumerate(sessions, 1):
-        print(f"[{i}/{len(sessions)}]", end=" ")
-        total += process_session_dir(sdir, psf, cfg, args.output_dir,
-                                     figures=not args.no_figures,
-                                     force=args.force,
-                                     batch_reps=args.batch_reps,
-                                     engine=args.engine)
-    print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
+    def list_sessions():
+        found = discover_sessions(args.data_dir)
+        if args.session:
+            found = [s for s in found if s.endswith(args.session)]
+        return found
+
+    if args.watch is None:
+        sessions = list_sessions()
+        if not sessions:
+            print(f"no sessions found in {args.data_dir}", file=sys.stderr)
+            return 1
+        t0 = time.time()
+        total = sum(run_one(sdir, f"[{i}/{len(sessions)}]")
+                    for i, sdir in enumerate(sessions, 1))
+        print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
+        return 0
+
+    # serve mode: poll for incoming sessions; completed ones are remembered
+    # so their frames are not reloaded each poll, failed loads (e.g. a
+    # session directory mid-write by the collection layer) are retried
+    completed: set = set()
+    total = polls = 0
+    while True:
+        for sdir in list_sessions():
+            if sdir in completed:
+                continue
+            try:
+                total += run_one(sdir, "[watch]")
+                completed.add(sdir)
+            except Exception as exc:  # noqa: BLE001 — keep serving
+                print(f"  [defer] {os.path.basename(sdir)}: {exc}")
+        polls += 1
+        if args.watch_polls is not None and polls >= args.watch_polls:
+            break
+        time.sleep(args.watch)
+    print(f"watch done: {total} unit(s) processed over {polls} poll(s)")
     return 0
 
 

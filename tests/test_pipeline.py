@@ -69,6 +69,39 @@ def test_pipeline_figures(tiny_session, tmp_path):
     assert os.path.exists(os.path.join(rep0, "convergence.png"))
 
 
+def test_watch_serve_mode(tiny_session, tmp_path, monkeypatch):
+    """`sr.run --watch` keeps serving: processes existing sessions, defers a
+    session that fails to load (mid-write by collection), picks it up on a
+    later poll once complete, and never reloads completed sessions."""
+    import shutil
+
+    from enph459_super_resolution_tpu.sr import run as run_mod
+
+    data_dir = os.path.dirname(tiny_session)
+    out = str(tmp_path / "serve_out")
+    broken = os.path.join(data_dir, "tiny_mono_session2")
+    os.makedirs(broken)
+    with open(os.path.join(broken, "corner0_rep00.png"), "wb") as fp:
+        fp.write(b"this is not a png")  # collection still writing
+
+    def fake_sleep(_):
+        # between polls the "collection layer" finishes the session
+        if os.path.exists(os.path.join(broken, "corner0_rep00.png")):
+            shutil.rmtree(broken)
+            shutil.copytree(tiny_session, broken)
+
+    monkeypatch.setattr(run_mod.time, "sleep", fake_sleep)
+    rc = run_mod.main(["--workload", "mono_barcodes", "--data-dir", data_dir,
+                       "--output-dir", out, "--no-figures",
+                       "--watch", "0.01", "--watch-polls", "3"])
+    assert rc == 0
+    for sess in ["tiny_mono_session", "tiny_mono_session2"]:
+        assert os.path.exists(
+            os.path.join(out, sess, "rep0", "done.flag")), sess
+        assert os.path.exists(
+            os.path.join(out, sess, "rep1", "done.flag")), sess
+
+
 @pytest.mark.slow
 def test_rgb_barcodes_real_session_loads_and_converges(reference_root):
     """The red-Bayer barcode path on the real dataset: per-rep units load
