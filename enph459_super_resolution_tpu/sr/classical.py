@@ -29,6 +29,7 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -214,9 +215,64 @@ def _fused_ibp_mode() -> str:
     window alignment inflates the back-projection's HIGHEST-precision
     FLOPs ~1.6x, outweighing the ~2x HBM-traffic saving.  Kept as an
     opt-in engine + regression tests; see ops/pallas_fused_ibp.py."""
-    import os
-
     return os.environ.get("SRTPU_FUSED_IBP", "0")
+
+
+def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
+                         reps=1):
+    """Host-side (numpy) build of one solve config's operator pytree.
+
+    ~15-50 s of single-core scipy/numpy work at the flagship 1536x2048
+    size, so :func:`_solve_matrices` memoizes the result on disk keyed by
+    every input that shapes the blocks.
+    """
+    from ..ops.opmatrix import BandedOp
+
+    def bc(m):
+        return BandedOp.from_matrix(m, dtype_name=dtype_name)
+
+    def br(m):
+        return BandedOp.tiled(bc(m), reps)
+
+    h_lr, w_lr = lr_shape
+    return {
+        "zoom_r": br(zoom_op_matrix(h_lr, factor, dtype_name=dtype_name)),
+        "zoom_c": bc(zoom_op_matrix(w_lr, factor, dtype_name=dtype_name)),
+        "saa": [(br(shift_op_matrix(h_lr * factor, dy * factor,
+                                    dtype_name=dtype_name)),
+                 bc(shift_op_matrix(w_lr * factor, dx * factor,
+                                    dtype_name=dtype_name)))
+                for dy, dx in shifts_yx],
+        "frames": [tuple([(br if axis % 2 == 0 else bc)(m) for m in ms]
+                         for axis, ms in enumerate(
+                             _frame_operator_matrices(psf, s, factor,
+                                                      lr_shape, dtype_name)))
+                   for s in shifts_yx],
+    }
+
+
+_OP_CACHE_VERSION = 1
+
+
+def _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps):
+    """Disk-cache file for a host operator build, or None when disabled.
+
+    Key covers everything that changes block contents: the build inputs
+    plus the env knobs baked into :class:`~..ops.opmatrix.BandedOp`
+    (block size, Pallas row packing).
+    """
+    import hashlib
+
+    if os.environ.get("SRTPU_OP_CACHE", "1") == "0":
+        return None
+    from ..ops import opmatrix
+
+    meta = repr((_OP_CACHE_VERSION, psf.shape, str(psf.dtype), shifts_yx,
+                 factor, lr_shape, dtype_name, reps, opmatrix._BAND_BLOCK,
+                 opmatrix._pallas_rows_enabled())).encode()
+    key = hashlib.sha256(meta + psf.tobytes()).hexdigest()[:32]
+    cache_dir = os.environ.get("SRTPU_OP_CACHE_DIR", "/tmp/srtpu_opcache")
+    return os.path.join(cache_dir, f"ops_{key}.pkl")
 
 
 def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
@@ -232,30 +288,30 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
     block-diagonally tiled ``reps`` times (:meth:`BandedOp.tiled`) so that
     ``reps`` images concatenated along H solve in the same graph with
     per-rep-exact boundaries; column operators are shared unchanged.
+
+    The host build is memoized on disk (``SRTPU_OP_CACHE_DIR``, default
+    ``/tmp/srtpu_opcache``; disable with ``SRTPU_OP_CACHE=0``) — it costs
+    tens of single-core seconds per process at full size otherwise.
     """
-    from ..ops.opmatrix import BandedOp
+    import pickle
 
-    def bc(m):
-        return BandedOp.from_matrix(m, dtype_name=dtype_name)
-
-    def br(m):
-        return BandedOp.tiled(bc(m), reps)
-
-    h_lr, w_lr = lr_shape
-    mats = {
-        "zoom_r": br(zoom_op_matrix(h_lr, factor, dtype_name=dtype_name)),
-        "zoom_c": bc(zoom_op_matrix(w_lr, factor, dtype_name=dtype_name)),
-        "saa": [(br(shift_op_matrix(h_lr * factor, dy * factor,
-                                    dtype_name=dtype_name)),
-                 bc(shift_op_matrix(w_lr * factor, dx * factor,
-                                    dtype_name=dtype_name)))
-                for dy, dx in shifts_yx],
-        "frames": [tuple([(br if axis % 2 == 0 else bc)(m) for m in ms]
-                         for axis, ms in enumerate(
-                             _frame_operator_matrices(psf, s, factor,
-                                                      lr_shape, dtype_name)))
-                   for s in shifts_yx],
-    }
+    path = _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps)
+    mats = None
+    if path and os.path.exists(path):
+        try:
+            with open(path, "rb") as fp:
+                mats = pickle.load(fp)
+        except Exception:
+            mats = None  # stale/corrupt cache entry: rebuild
+    if mats is None:
+        mats = _host_solve_matrices(psf, shifts_yx, factor, lr_shape,
+                                    dtype_name, reps)
+        if path:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fp:
+                pickle.dump(mats, fp, protocol=pickle.HIGHEST_PROTOCOL)
+            os.replace(tmp, path)  # atomic vs concurrent writers
 
     # Fused-iteration Pallas pack (TPU default): the whole fwd-err and
     # bwd-update of every frame as two kernels per iteration instead of

@@ -33,6 +33,10 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", args_pre.platform)
 
+    # Persist compiled executables across CLI invocations (first full-size
+    # solve compile costs ~20 s on the tunneled backend).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_srtpu")
+
     # Heavy imports only after the platform is pinned.
     from ..psf.kernels import load_measured_psf, make_gaussian_psf
     from .config import WORKLOADS

@@ -296,3 +296,40 @@ def test_golden_mono_cal_target(reference_root):
         # +/-1 count after the clip-truncate quantization, never more
         assert d.max() <= 1, (key, d.max())
         assert d.mean() < 0.5, (key, d.mean())
+
+
+def test_op_cache_roundtrip_and_corruption(tmp_path, monkeypatch):
+    """The host operator build memoizes to disk: a cache hit reproduces the
+    pytree bit-exactly, a corrupt entry silently rebuilds, SRTPU_OP_CACHE=0
+    disables the file entirely."""
+    import jax
+
+    from enph459_super_resolution_tpu.sr import classical as C
+
+    monkeypatch.setenv("SRTPU_OP_CACHE_DIR", str(tmp_path))
+    psf = make_gaussian_psf()
+    args = (psf, SHIFTS, 2, (32, 40), "float32")
+
+    built = []
+    orig = C._host_solve_matrices
+
+    def counting(*a, **k):
+        built.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(C, "_host_solve_matrices", counting)
+    m1 = C._solve_matrices(*args)
+    path = C._op_cache_path(*args, reps=1)
+    assert os.path.exists(path)
+    m2 = C._solve_matrices(*args)
+    assert len(built) == 1  # second call served from disk
+    for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with open(path, "wb") as fp:
+        fp.write(b"corrupt")
+    C._solve_matrices(*args)
+    assert len(built) == 2  # rebuilt, not crashed
+
+    monkeypatch.setenv("SRTPU_OP_CACHE", "0")
+    assert C._op_cache_path(*args, reps=1) is None
