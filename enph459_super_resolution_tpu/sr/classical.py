@@ -229,10 +229,15 @@ def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
     from ..ops.opmatrix import BandedOp
 
     def bc(m):
-        return BandedOp.from_matrix(m, dtype_name=dtype_name)
+        # column operators: col_apply contracts the blocks directly and
+        # never takes the Pallas row path, so packing bands for them would
+        # only inflate the upload/HBM footprint (~16% of the payload)
+        return BandedOp.from_matrix(m, dtype_name=dtype_name,
+                                    pack_pallas=False)
 
     def br(m):
-        return BandedOp.tiled(bc(m), reps)
+        return BandedOp.tiled(
+            BandedOp.from_matrix(m, dtype_name=dtype_name), reps)
 
     h_lr, w_lr = lr_shape
     return {
@@ -251,7 +256,33 @@ def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
     }
 
 
-_OP_CACHE_VERSION = 1
+_OP_CACHE_VERSION = 2  # v2: column operators carry no Pallas pack
+
+
+def _device_put_dedup(tree):
+    """``jax.device_put`` with content dedup: identical leaves (banded
+    operators share interior blocks — translates of the same band — and
+    whole operators repeat across frames) upload once and alias one device
+    buffer.  Cuts the flagship solve's operator upload 147 -> ~44 MB, which
+    matters doubly here: the tunneled backend's h2d is both
+    bandwidth-constrained and prone to multi-minute first-transfer stalls
+    (PERF_NOTES.md).  Safe because operator arguments are never donated.
+    """
+    import hashlib
+
+    leaves, treedef = jax.tree.flatten(tree)
+    index: dict = {}
+    unique, slots = [], []
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        key = (arr.shape, str(arr.dtype),
+               hashlib.sha1(arr.tobytes()).digest())
+        slot = index.setdefault(key, len(unique))
+        if slot == len(unique):
+            unique.append(arr)
+        slots.append(slot)
+    dev = jax.device_put(unique)
+    return jax.tree.unflatten(treedef, [dev[i] for i in slots])
 
 
 def _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps):
@@ -329,7 +360,7 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
         mats["fused"] = FusedIBP.build(
             frame_mats, lr_shape, (h_lr * factor, w_lr * factor), reps=reps,
             interpret=(mode == "interpret"))
-    return jax.device_put(mats)
+    return _device_put_dedup(mats)
 
 
 @functools.lru_cache(maxsize=64)
