@@ -175,8 +175,6 @@ def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
     tunnel round-trip costs once — the earlier vmap formulation was ~47x
     slower per unit and is kept only for the conv engine.
     """
-    from .classical import solve_batch
-
     t0 = time.time()
     units = cfg.load(session_dir)
     print(f"Session {os.path.basename(session_dir)}: {len(units)} unit(s), "
@@ -197,26 +195,7 @@ def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
     # fallback is pathological on the target backend — keep it sequential
     if batch_reps and engine == "mm" and len(pending) > 1 and same_shape \
             and same_shifts:
-        timer = StageTimer()
-        with timer.stage("solve_batch"):
-            stacks = jnp.asarray(np.stack([u.frames for u in pending]))
-            batched = solve_batch(stacks, psf, pending[0].shifts,
-                                  factor=cfg.upsample_factor,
-                                  n_iter=cfg.ibp_iterations,
-                                  step=cfg.ibp_step, engine=engine)
-            batched = {k: np.asarray(v) for k, v in batched.items()}
-        t_batch = timer.as_dict()["solve_batch"]
-        print(f"  batched solve of {len(pending)} unit(s): {t_batch:.2f}s")
-        for i, unit in enumerate(pending):
-            result = {k: v[i] for k, v in batched.items()}
-            # fresh per-unit timer: the batch solve is amortized evenly so
-            # each metrics.json reports its own share, not the batch total
-            # (and save/figures times don't accumulate across units)
-            unit_timer = StageTimer()
-            unit_timer._t["solve"] = t_batch / len(pending)
-            unit_timer._t["solve_batch_total"] = t_batch
-            _write_unit_artifacts(unit, result, cfg, output_base, figures,
-                                  unit_timer)
+        _solve_units_batched(pending, psf, cfg, output_base, figures)
         return len(pending)
 
     n = 0
@@ -225,3 +204,82 @@ def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
                         force=True, engine=engine) is not None:
             n += 1
     return n
+
+
+def _solve_units_batched(pending, psf, cfg, output_base, figures) -> None:
+    """Solve same-shaped units as ONE device call and write per-unit
+    artifacts (mm engine; see :func:`~.classical.solve_batch`)."""
+    from .classical import solve_batch
+
+    timer = StageTimer()
+    with timer.stage("solve_batch"):
+        stacks = jnp.asarray(np.stack([u.frames for u in pending]))
+        batched = solve_batch(stacks, psf, pending[0].shifts,
+                              factor=cfg.upsample_factor,
+                              n_iter=cfg.ibp_iterations,
+                              step=cfg.ibp_step, engine="mm")
+        batched = {k: np.asarray(v) for k, v in batched.items()}
+    t_batch = timer.as_dict()["solve_batch"]
+    print(f"  batched solve of {len(pending)} unit(s): {t_batch:.2f}s")
+    for i, unit in enumerate(pending):
+        result = {k: v[i] for k, v in batched.items()}
+        # fresh per-unit timer: the batch solve is amortized evenly so
+        # each metrics.json reports its own share, not the batch total
+        # (and save/figures times don't accumulate across units)
+        unit_timer = StageTimer()
+        unit_timer._t["solve"] = t_batch / len(pending)
+        unit_timer._t["solve_batch_total"] = t_batch
+        _write_unit_artifacts(unit, result, cfg, output_base, figures,
+                              unit_timer)
+
+
+def process_workload(session_dirs, psf, cfg, output_base, figures=True,
+                     force=False, batch_reps=True, engine: str = "mm",
+                     max_batch: int = 4) -> int:
+    """Process many sessions with CROSS-SESSION unit batching.
+
+    The reference iterates sessions one at a time
+    (``mono_barcodes/run_sr.py:393-395``); here every pending unit across
+    the whole workload joins one stream, and runs of consecutive units with
+    identical (shape, shifts) solve as single batched device calls of up to
+    ``max_batch`` (the data-parallel axis spanning sessions, not just reps
+    within one).  Artifacts, prints, and done.flag semantics are identical
+    to per-session processing — only the device dispatch granularity
+    changes.  Falls back to sequential units for the conv engine.
+    """
+    buffer: list = []
+    n_done = 0
+
+    def flush():
+        nonlocal buffer, n_done
+        if not buffer:
+            return
+        if len(buffer) == 1 or engine != "mm" or not batch_reps:
+            for u in buffer:
+                if process_unit(u, psf, cfg, output_base, figures,
+                                force=True, engine=engine) is not None:
+                    n_done += 1
+        else:
+            _solve_units_batched(buffer, psf, cfg, output_base, figures)
+            n_done += len(buffer)
+        buffer = []
+
+    for sdir in session_dirs:
+        t0 = time.time()
+        units = cfg.load(sdir)
+        print(f"Session {os.path.basename(sdir)}: {len(units)} unit(s), "
+              f"loaded in {time.time() - t0:.1f}s")
+        for unit in units:
+            out_dir = _unit_out_dir(output_base, unit)
+            if os.path.exists(os.path.join(out_dir, "done.flag")) \
+                    and not force:
+                print(f"  [skip] {out_dir} - already done")
+                continue
+            key = (unit.frames.shape, unit.shifts)
+            if buffer and key != (buffer[0].frames.shape, buffer[0].shifts):
+                flush()
+            buffer.append(unit)
+            if len(buffer) >= max_batch:
+                flush()
+    flush()
+    return n_done

@@ -40,7 +40,7 @@ def main(argv=None) -> int:
     # Heavy imports only after the platform is pinned.
     from ..psf.kernels import load_measured_psf, make_gaussian_psf
     from .config import WORKLOADS
-    from .pipeline import process_session_dir
+    from .pipeline import process_session_dir, process_workload
     from ..data.sessions import discover_sessions
 
     p.add_argument("--workload", required=True, choices=sorted(WORKLOADS))
@@ -102,8 +102,13 @@ def main(argv=None) -> int:
             print(f"no sessions found in {args.data_dir}", file=sys.stderr)
             return 1
         t0 = time.time()
-        total = sum(run_one(sdir, f"[{i}/{len(sessions)}]")
-                    for i, sdir in enumerate(sessions, 1))
+        # cross-session unit batching: consecutive same-shaped units across
+        # the whole workload solve as single batched device calls
+        total = process_workload(sessions, psf, cfg, args.output_dir,
+                                 figures=not args.no_figures,
+                                 force=args.force,
+                                 batch_reps=args.batch_reps,
+                                 engine=args.engine)
         print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
         return 0
 

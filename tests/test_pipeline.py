@@ -69,6 +69,44 @@ def test_pipeline_figures(tiny_session, tmp_path):
     assert os.path.exists(os.path.join(rep0, "convergence.png"))
 
 
+def test_cross_session_unit_batching(tiny_session, tmp_path):
+    """process_workload batches units ACROSS sessions (the dp axis spans
+    the whole workload, reference loop `mono_barcodes/run_sr.py:393-395`);
+    outputs are bit-identical to per-session processing."""
+    import shutil
+
+    from PIL import Image
+
+    from enph459_super_resolution_tpu.sr.pipeline import process_workload
+
+    data_dir = os.path.dirname(tiny_session)
+    second = os.path.join(data_dir, "tiny_mono_b")
+    shutil.copytree(tiny_session, second)
+    cfg = WORKLOADS["mono_barcodes"]
+    psf = make_gaussian_psf()
+
+    out_b = str(tmp_path / "batched")
+    n = process_workload([tiny_session, second], psf, cfg, out_b,
+                         figures=False, max_batch=3)  # 4 units -> 3+1 split
+    assert n == 4
+
+    out_s = str(tmp_path / "sequential")
+    for sdir in [tiny_session, second]:
+        process_session_dir(sdir, psf, cfg, out_s, figures=False,
+                            batch_reps=False)
+
+    for sess in ["tiny_mono_session", "tiny_mono_b"]:
+        for rep in ["rep0", "rep1"]:
+            for f in ["SAA_IBP.png", "SAA.png", "native_2x.png"]:
+                a = np.asarray(Image.open(os.path.join(out_b, sess, rep, f)))
+                b = np.asarray(Image.open(os.path.join(out_s, sess, rep, f)))
+                np.testing.assert_array_equal(a, b, err_msg=(sess, rep, f))
+
+    # idempotent: a second pass skips everything
+    assert process_workload([tiny_session, second], psf, cfg, out_b,
+                            figures=False) == 0
+
+
 def test_watch_serve_mode(tiny_session, tmp_path, monkeypatch):
     """`sr.run --watch` keeps serving: processes existing sessions, defers a
     session that fails to load (mid-write by collection), picks it up on a
