@@ -179,6 +179,34 @@ def test_gan_loop_checkpoint_roundtrip(tmp_path):
     assert os.path.exists(os.path.join(out, "final_eval.json"))
 
 
+def test_steps_per_dispatch_equivalent(tmp_path):
+    """k optimizer steps rolled into one lax.scan dispatch produce the
+    same training trajectory as k sequential dispatches (same sampler
+    stream, same Adam/EMA math)."""
+    import orbax.checkpoint as ocp
+
+    from enph459_super_resolution_tpu.train.loop import train
+
+    outs = {}
+    for k in (1, 5):
+        out = str(tmp_path / f"k{k}")
+        train(model_name="espcn", scale=2, steps=10, batch=2, lr_patch=12,
+              channels=1, out_dir=out, eval_every=10, ckpt_every=5,
+              dp=False, steps_per_dispatch=k)
+        mngr = ocp.CheckpointManager(os.path.join(out, "ckpt"))
+        assert mngr.latest_step() == 10  # boundary cadence preserved
+        outs[k] = mngr.restore(10)
+
+    for a, b in zip(jax.tree.leaves(outs[1]["params"]),
+                    jax.tree.leaves(outs[5]["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[1]["ema_params"]),
+                    jax.tree.leaves(outs[5]["ema_params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_gan_finetune_init_from_pretrain(tmp_path):
     """--init-from warm-starts the GAN generator from an L1 pretrain run's
     checkpoint (the ESRGAN recipe: PSNR pretrain -> adversarial fine-tune);
