@@ -63,6 +63,9 @@ def main(argv=None) -> int:
     p.add_argument("--engine", default="mm", choices=["mm", "conv"],
                    help="compute engine: banded-MXU matmuls (default) or "
                         "fused tap-sum convs (cross-check path)")
+    p.add_argument("--max-batch", type=int, default=4,
+                   help="max units per batched device solve (cross-session "
+                        "batching; operator memory scales with it)")
     p.add_argument("--watch", type=float, default=None, metavar="SECONDS",
                    help="serve mode: after processing existing sessions, "
                         "keep polling --data-dir every SECONDS for new ones "
@@ -108,7 +111,8 @@ def main(argv=None) -> int:
                                  figures=not args.no_figures,
                                  force=args.force,
                                  batch_reps=args.batch_reps,
-                                 engine=args.engine)
+                                 engine=args.engine,
+                                 max_batch=args.max_batch)
         print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
         return 0
 
