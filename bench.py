@@ -170,13 +170,16 @@ def main() -> int:
     params = model.init(jax.random.PRNGKey(0), lr_img)
     nrep = 3 if args.smoke else 20
 
-    @jax.jit
-    def edsr_loop(p, x):
-        def body(i, v):
-            y = model.apply(p, v)
-            return v + 1e-12 * y[:, :v.shape[1], :v.shape[2], :]
-        return jax.lax.fori_loop(0, nrep, body, x)
+    def make_edsr_loop(n):
+        @jax.jit
+        def loop(p, x):
+            def body(i, v):
+                y = model.apply(p, v)
+                return v + 1e-12 * y[:, :v.shape[1], :v.shape[2], :]
+            return jax.lax.fori_loop(0, n, body, x)
+        return loop
 
+    edsr_loop = make_edsr_loop(nrep)
     acc = float(np.asarray(edsr_loop(params, lr_img)).ravel()[0])  # compile
     assert np.isfinite(acc)
     edsr_times = []
@@ -196,14 +199,7 @@ def main() -> int:
         rng.uniform(0, 255,
                     (nb_edsr, edsr_hw, edsr_hw, 3)).astype(np.float32), dev)
     nrep_b = 3 if args.smoke else 10
-
-    @jax.jit
-    def edsr_loop_b(p, x):
-        def body(i, v):
-            y = model.apply(p, v)
-            return v + 1e-12 * y[:, :v.shape[1], :v.shape[2], :]
-        return jax.lax.fori_loop(0, nrep_b, body, x)
-
+    edsr_loop_b = make_edsr_loop(nrep_b)
     float(np.asarray(edsr_loop_b(params, lr_b)).ravel()[0])  # compile
     edsr_b_times = []
     for _ in range(3):

@@ -156,6 +156,12 @@ int srpng_write(const char* path, const unsigned char* data, int height,
     fclose(fp);
     return 3;
   }
+  // Row-pointer table lives BEFORE setjmp: libpng errors longjmp over
+  // everything below, which must not skip a live C++ destructor.
+  size_t rowbytes = static_cast<size_t>(width) * channels;
+  std::vector<png_bytep> rows(height);
+  for (int r = 0; r < height; ++r)
+    rows[r] = const_cast<png_bytep>(data + r * rowbytes);
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     fclose(fp);
@@ -167,10 +173,6 @@ int srpng_write(const char* path, const unsigned char* data, int height,
   png_set_IHDR(png, info, width, height, 8, color_type, PNG_INTERLACE_NONE,
                PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
   png_write_info(png, info);
-  size_t rowbytes = static_cast<size_t>(width) * channels;
-  std::vector<png_bytep> rows(height);
-  for (int r = 0; r < height; ++r)
-    rows[r] = const_cast<png_bytep>(data + r * rowbytes);
   png_write_image(png, rows.data());
   png_write_end(png, nullptr);
   png_destroy_write_struct(&png, &info);

@@ -256,7 +256,7 @@ def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
     }
 
 
-_OP_CACHE_VERSION = 2  # v2: column operators carry no Pallas pack
+_OP_CACHE_VERSION = 3  # v3: fused frame matrices cached; uid-scoped dir
 
 
 def _device_put_dedup(tree):
@@ -267,30 +267,44 @@ def _device_put_dedup(tree):
     matters doubly here: the tunneled backend's h2d is both
     bandwidth-constrained and prone to multi-minute first-transfer stalls
     (PERF_NOTES.md).  Safe because operator arguments are never donated.
+
+    Leaves that are already device arrays (e.g. the opt-in FusedIBP pack)
+    pass through untouched — hashing them would force a d2h fetch just to
+    re-upload the same bytes.
     """
     import hashlib
 
     leaves, treedef = jax.tree.flatten(tree)
+    out: list = [None] * len(leaves)
     index: dict = {}
-    unique, slots = [], []
-    for leaf in leaves:
+    unique, pending = [], []  # pending: (leaf position, unique slot)
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            out[i] = leaf
+            continue
         arr = np.asarray(leaf)
         key = (arr.shape, str(arr.dtype),
                hashlib.sha1(arr.tobytes()).digest())
         slot = index.setdefault(key, len(unique))
         if slot == len(unique):
             unique.append(arr)
-        slots.append(slot)
+        pending.append((i, slot))
     dev = jax.device_put(unique)
-    return jax.tree.unflatten(treedef, [dev[i] for i in slots])
+    for i, slot in pending:
+        out[i] = dev[slot]
+    return jax.tree.unflatten(treedef, out)
 
 
-def _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps):
+def _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps,
+                   fused=False):
     """Disk-cache file for a host operator build, or None when disabled.
 
-    Key covers everything that changes block contents: the build inputs
-    plus the env knobs baked into :class:`~..ops.opmatrix.BandedOp`
-    (block size, Pallas row packing).
+    Key covers everything that changes cached contents: the build inputs,
+    the env knobs baked into :class:`~..ops.opmatrix.BandedOp` (block
+    size, Pallas row packing), and whether the fused-IBP frame matrices
+    ride along.  The default directory is uid-scoped and 0700 (pickle is
+    executable-on-load; never read a cache another user could have
+    planted — see the ownership check in :func:`_solve_matrices`).
     """
     import hashlib
 
@@ -300,10 +314,21 @@ def _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps):
 
     meta = repr((_OP_CACHE_VERSION, psf.shape, str(psf.dtype), shifts_yx,
                  factor, lr_shape, dtype_name, reps, opmatrix._BAND_BLOCK,
-                 opmatrix._pallas_rows_enabled())).encode()
+                 opmatrix._pallas_rows_enabled(), bool(fused))).encode()
     key = hashlib.sha256(meta + psf.tobytes()).hexdigest()[:32]
-    cache_dir = os.environ.get("SRTPU_OP_CACHE_DIR", "/tmp/srtpu_opcache")
+    cache_dir = os.environ.get(
+        "SRTPU_OP_CACHE_DIR", f"/tmp/srtpu_opcache_{os.getuid()}")
     return os.path.join(cache_dir, f"ops_{key}.pkl")
+
+
+def _cache_dir_trusted(path: str) -> bool:
+    """Only trust a cache directory this uid owns with no group/other
+    write access (pickle.load runs arbitrary code)."""
+    try:
+        st = os.stat(os.path.dirname(path))
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
 
 
 def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
@@ -321,45 +346,56 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
     per-rep-exact boundaries; column operators are shared unchanged.
 
     The host build is memoized on disk (``SRTPU_OP_CACHE_DIR``, default
-    ``/tmp/srtpu_opcache``; disable with ``SRTPU_OP_CACHE=0``) — it costs
-    tens of single-core seconds per process at full size otherwise.
+    ``/tmp/srtpu_opcache_<uid>``, 0700; disable with ``SRTPU_OP_CACHE=0``)
+    — it costs tens of single-core seconds per process at full size
+    otherwise.  With the fused engine enabled the dense per-frame operator
+    matrices are cached too (the FusedIBP pack itself is rebuilt from them
+    per process; it is device-resident, not picklable).
     """
     import pickle
 
-    path = _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps)
-    mats = None
-    if path and os.path.exists(path):
-        try:
-            with open(path, "rb") as fp:
-                mats = pickle.load(fp)
-        except Exception:
-            mats = None  # stale/corrupt cache entry: rebuild
-    if mats is None:
-        mats = _host_solve_matrices(psf, shifts_yx, factor, lr_shape,
-                                    dtype_name, reps)
-        if path:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = f"{path}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as fp:
-                pickle.dump(mats, fp, protocol=pickle.HIGHEST_PROTOCOL)
-            os.replace(tmp, path)  # atomic vs concurrent writers
-
-    # Fused-iteration Pallas pack (TPU default): the whole fwd-err and
-    # bwd-update of every frame as two kernels per iteration instead of
-    # ~20 separate banded applies — ~2x less HBM traffic, bit-compatible
-    # contractions (see ops/pallas_fused_ibp.py).
     mode = _fused_ibp_mode()
     from ..ops.pallas_fused_ibp import FusedIBP, fused_eligible
 
     h_lr, w_lr = lr_shape
-    if mode != "0" and fused_eligible(
-            lr_shape, (h_lr * factor, w_lr * factor), dtype_name):
-        frame_mats = [_frame_operator_matrices(psf, s, factor, lr_shape,
-                                               dtype_name)
-                      for s in shifts_yx]
+    fused_on = mode != "0" and fused_eligible(
+        lr_shape, (h_lr * factor, w_lr * factor), dtype_name)
+
+    path = _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps,
+                          fused=fused_on)
+    cached = None
+    if path and os.path.exists(path) and _cache_dir_trusted(path):
+        try:
+            with open(path, "rb") as fp:
+                cached = pickle.load(fp)
+        except Exception:
+            cached = None  # stale/corrupt cache entry: rebuild
+    if cached is None:
+        cached = {"mats": _host_solve_matrices(psf, shifts_yx, factor,
+                                               lr_shape, dtype_name, reps)}
+        if fused_on:
+            cached["frame_mats"] = [
+                _frame_operator_matrices(psf, s, factor, lr_shape,
+                                         dtype_name)
+                for s in shifts_yx]
+        if path:
+            os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
+            if _cache_dir_trusted(path):
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as fp:
+                    pickle.dump(cached, fp,
+                                protocol=pickle.HIGHEST_PROTOCOL)
+                os.replace(tmp, path)  # atomic vs concurrent writers
+
+    mats = cached["mats"]
+    # Fused-iteration Pallas pack (opt-in): the whole fwd-err and
+    # bwd-update of every frame as two kernels per iteration instead of
+    # ~20 separate banded applies — ~2x less HBM traffic, bit-compatible
+    # contractions (see ops/pallas_fused_ibp.py).
+    if fused_on:
         mats["fused"] = FusedIBP.build(
-            frame_mats, lr_shape, (h_lr * factor, w_lr * factor), reps=reps,
-            interpret=(mode == "interpret"))
+            cached["frame_mats"], lr_shape, (h_lr * factor, w_lr * factor),
+            reps=reps, interpret=(mode == "interpret"))
     return _device_put_dedup(mats)
 
 

@@ -34,13 +34,20 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args_pre.platform)
 
     # Persist compiled executables across CLI invocations (first full-size
-    # solve compile costs ~20 s on the tunneled backend).
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_srtpu")
+    # solve compile costs ~20 s).  jax snapshots the env var at import time
+    # and sitecustomize imports jax before us, so the env var alone is a
+    # no-op here — go through jax.config (same trap as jax_platforms).
+    # (The axon backend compiles server-side and ignores the local cache;
+    # this pays off on cpu/tpu platforms.)
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_srtpu"))
 
     # Heavy imports only after the platform is pinned.
     from ..psf.kernels import load_measured_psf, make_gaussian_psf
     from .config import WORKLOADS
-    from .pipeline import process_session_dir, process_workload
+    from .pipeline import process_workload
     from ..data.sessions import discover_sessions
 
     p.add_argument("--workload", required=True, choices=sorted(WORKLOADS))
@@ -85,14 +92,6 @@ def main(argv=None) -> int:
     else:
         psf = make_gaussian_psf(cfg.psf_size, cfg.psf_sigma)
 
-    def run_one(sdir: str, tag: str) -> int:
-        print(tag, end=" ")
-        return process_session_dir(sdir, psf, cfg, args.output_dir,
-                                   figures=not args.no_figures,
-                                   force=args.force,
-                                   batch_reps=args.batch_reps,
-                                   engine=args.engine)
-
     def list_sessions():
         found = discover_sessions(args.data_dir)
         if args.session:
@@ -116,18 +115,31 @@ def main(argv=None) -> int:
         print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
         return 0
 
-    # serve mode: poll for incoming sessions; completed ones are remembered
-    # so their frames are not reloaded each poll, failed loads (e.g. a
-    # session directory mid-write by the collection layer) are retried
-    completed: set = set()
+    # Serve mode: poll for incoming sessions.  A processed session is
+    # skipped on later polls ONLY while its directory listing is unchanged
+    # — a collector appending more reps to an already-processed session
+    # changes the fingerprint and triggers a reload (done.flag keeps the
+    # finished units idempotent).  Failed loads (session mid-write) retry
+    # on the next poll.
+    def fingerprint(sdir: str) -> frozenset:
+        return frozenset(os.listdir(sdir))
+
+    seen: dict = {}  # sdir -> listing fingerprint at last successful pass
     total = polls = 0
     while True:
         for sdir in list_sessions():
-            if sdir in completed:
-                continue
             try:
-                total += run_one(sdir, "[watch]")
-                completed.add(sdir)
+                fp = fingerprint(sdir)
+                if seen.get(sdir) == fp:
+                    continue
+                print("[watch]", end=" ")
+                total += process_workload([sdir], psf, cfg, args.output_dir,
+                                          figures=not args.no_figures,
+                                          force=args.force,
+                                          batch_reps=args.batch_reps,
+                                          engine=args.engine,
+                                          max_batch=args.max_batch)
+                seen[sdir] = fp
             except Exception as exc:  # noqa: BLE001 — keep serving
                 print(f"  [defer] {os.path.basename(sdir)}: {exc}")
         polls += 1

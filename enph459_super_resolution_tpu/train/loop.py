@@ -157,13 +157,15 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
             state, ms = jax.lax.scan(body, state, (lr_k, hr_k))
             return state, jax.tree.map(lambda x: x[-1], ms)  # last metrics
 
+    LOG_EVERY = 50  # metrics.jsonl cadence; chunk_size aligns to it
+
     def chunk_size(done: int) -> int:
         """Steps to run in the next dispatch: the full k unless a log/
         checkpoint/eval boundary (or the end) lands inside it — boundaries
         must be hit exactly so cadence semantics match k=1."""
         k = steps_per_dispatch
         nxt = min(((done // m) + 1) * m
-                  for m in (50, ckpt_every, eval_every))
+                  for m in (LOG_EVERY, ckpt_every, eval_every))
         return max(1, min(k, steps - done, nxt - done))
 
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
@@ -185,7 +187,7 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
                 lr_b, hr_b = next(sampler)
                 state, metrics = step(state, lr_b, hr_b)
             it += k_eff
-            if it % 50 == 0 or first or it == steps:
+            if it % LOG_EVERY == 0 or first or it == steps:
                 first = False
                 rec = {k: float(v) for k, v in metrics.items()}
                 rec.update(step=it, wall_s=round(time.time() - t0, 1))

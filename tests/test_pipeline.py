@@ -122,22 +122,37 @@ def test_watch_serve_mode(tiny_session, tmp_path, monkeypatch):
     with open(os.path.join(broken, "corner0_rep00.png"), "wb") as fp:
         fp.write(b"this is not a png")  # collection still writing
 
+    polls = {"n": 0}
+
     def fake_sleep(_):
-        # between polls the "collection layer" finishes the session
-        if os.path.exists(os.path.join(broken, "corner0_rep00.png")):
+        polls["n"] += 1
+        if polls["n"] == 1:
+            # between polls the "collection layer" finishes the session...
             shutil.rmtree(broken)
             shutil.copytree(tiny_session, broken)
+        elif polls["n"] == 2:
+            # ...and later appends a THIRD rep to the first (already
+            # processed) session — the fingerprint change must trigger a
+            # reload even though the session was once fully processed
+            src = os.path.join(tiny_session, "corner0_rep00.png")
+            for ci in range(4):
+                shutil.copy(src,
+                            os.path.join(tiny_session,
+                                         f"corner{ci}_rep02.png"))
 
     monkeypatch.setattr(run_mod.time, "sleep", fake_sleep)
     rc = run_mod.main(["--workload", "mono_barcodes", "--data-dir", data_dir,
                        "--output-dir", out, "--no-figures",
-                       "--watch", "0.01", "--watch-polls", "3"])
+                       "--watch", "0.01", "--watch-polls", "4"])
     assert rc == 0
     for sess in ["tiny_mono_session", "tiny_mono_session2"]:
         assert os.path.exists(
             os.path.join(out, sess, "rep0", "done.flag")), sess
         assert os.path.exists(
             os.path.join(out, sess, "rep1", "done.flag")), sess
+    # the late-arriving rep got picked up on a later poll
+    assert os.path.exists(
+        os.path.join(out, "tiny_mono_session", "rep2", "done.flag"))
 
 
 @pytest.mark.slow
