@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                    help="evaluate raw params instead of EMA weights")
     p.add_argument("--tiled", action="store_true",
                    help="use exact tiled inference (large images)")
+    p.add_argument("--model-kwargs", default=None,
+                   help="JSON dict of extra model constructor kwargs — must "
+                        "match the training run (e.g. '{\"nb\": 8}')")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -50,6 +53,10 @@ def main(argv=None) -> int:
     kwargs = {"channels": args.channels}
     if args.model != "srcnn":
         kwargs["scale"] = args.scale
+    if args.model_kwargs:
+        import json
+
+        kwargs.update(json.loads(args.model_kwargs))
     model = create_model(args.model, **kwargs)
 
     pool = (image_pool_from_dir(args.data_dir, channels=args.channels)
