@@ -48,14 +48,11 @@ def main(argv=None) -> int:
 
     from ..models import create_model
     from .data import evaluate_sr, image_pool_from_dir, synthetic_scene_pool
-    from .state import TrainConfig, TrainState, make_optimizer
 
     kwargs = {"channels": args.channels}
     if args.model != "srcnn":
         kwargs["scale"] = args.scale
     if args.model_kwargs:
-        import json
-
         kwargs.update(json.loads(args.model_kwargs))
     model = create_model(args.model, **kwargs)
 
@@ -75,11 +72,7 @@ def main(argv=None) -> int:
     else:
         apply_fn = model.apply
         init_in = lr0
-    params = model.init(jax.random.PRNGKey(0), init_in)
-    # train.loop always uses the EDSR-style halving schedule; the optimizer
-    # state template must match its structure for orbax to restore
-    tx = make_optimizer(TrainConfig(lr_halve_every=1))
-    template = TrainState.create(params, tx)
+    model.init(jax.random.PRNGKey(0), init_in)  # sanity: kwargs build a net
 
     ckpt_dir = os.path.abspath(os.path.join(args.run, "ckpt"))
     mngr = ocp.CheckpointManager(ckpt_dir)
@@ -87,8 +80,12 @@ def main(argv=None) -> int:
     if step is None:
         print(f"no checkpoints under {ckpt_dir}", file=sys.stderr)
         return 1
-    state = mngr.restore(step, args=ocp.args.StandardRestore(template))
-    weights = state.params if args.raw else state.ema_params
+    # template-free restore handles both plain TrainState runs and GAN
+    # fine-tune runs (GANTrainState: generator under 'g')
+    raw = mngr.restore(step)
+    tree = raw["g"] if "g" in raw else raw
+    weights = tree["params"] if args.raw else tree["ema_params"]
+    weights = jax.tree.map(np.asarray, weights)
 
     if args.tiled:
         from ..models.infer import tiled_infer
