@@ -178,6 +178,13 @@ def test_gan_loop_checkpoint_roundtrip(tmp_path):
     assert max(l["step"] for l in lines) == 9
     assert os.path.exists(os.path.join(out, "final_eval.json"))
 
+    # the standalone evaluate CLI restores the GANTrainState checkpoint
+    # (generator under 'g') with its template-free restore
+    from enph459_super_resolution_tpu.train.evaluate import main as eval_main
+
+    assert eval_main(["--model", "espcn", "--scale", "2", "--channels", "1",
+                      "--run", out]) == 0
+
 
 def test_steps_per_dispatch_equivalent(tmp_path):
     """k optimizer steps rolled into one lax.scan dispatch produce the
