@@ -45,11 +45,17 @@ int srpng_load(const char* path, int* height, int* width, int* channels,
     fclose(fp);
     return 3;
   }
-  unsigned char* buf = nullptr;
+  // volatile: both locals are written between setjmp and a potential
+  // longjmp — without volatile their values after the jump are
+  // indeterminate (C11) and free()/delete[] would be UB.  Plain arrays
+  // (not std::vector) so no non-trivial destructor can be skipped.
+  unsigned char* volatile buf = nullptr;
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {  // libpng error path
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(fp);
     free(buf);
+    delete[] rows;
     return 4;
   }
 
@@ -78,12 +84,13 @@ int srpng_load(const char* path, int* height, int* width, int* channels,
     fclose(fp);
     return 5;
   }
-  std::vector<png_bytep> rows(h);
+  rows = new png_bytep[h];
   for (png_uint_32 r = 0; r < h; ++r) rows[r] = buf + r * rowbytes;
-  png_read_image(png, rows.data());
+  png_read_image(png, rows);
   png_read_end(png, nullptr);
   png_destroy_read_struct(&png, &info, nullptr);
   fclose(fp);
+  delete[] rows;
 
   *height = static_cast<int>(h);
   *width = static_cast<int>(w);

@@ -225,6 +225,11 @@ def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
     ~15-50 s of single-core scipy/numpy work at the flagship 1536x2048
     size, so :func:`_solve_matrices` memoizes the result on disk keyed by
     every input that shapes the blocks.
+
+    Returns ``(mats, frame_mats)`` where ``frame_mats`` is the raw dense
+    per-frame operator matrix list — built exactly once and reused both
+    for the banded 'frames' decomposition here and (when the fused engine
+    is enabled) for :meth:`FusedIBP.build`.
     """
     from ..ops.opmatrix import BandedOp
 
@@ -240,7 +245,10 @@ def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
             BandedOp.from_matrix(m, dtype_name=dtype_name), reps)
 
     h_lr, w_lr = lr_shape
-    return {
+    frame_mats = [_frame_operator_matrices(psf, s, factor, lr_shape,
+                                           dtype_name)
+                  for s in shifts_yx]
+    mats = {
         "zoom_r": br(zoom_op_matrix(h_lr, factor, dtype_name=dtype_name)),
         "zoom_c": bc(zoom_op_matrix(w_lr, factor, dtype_name=dtype_name)),
         "saa": [(br(shift_op_matrix(h_lr * factor, dy * factor,
@@ -249,11 +257,10 @@ def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
                                     dtype_name=dtype_name)))
                 for dy, dx in shifts_yx],
         "frames": [tuple([(br if axis % 2 == 0 else bc)(m) for m in ms]
-                         for axis, ms in enumerate(
-                             _frame_operator_matrices(psf, s, factor,
-                                                      lr_shape, dtype_name)))
-                   for s in shifts_yx],
+                         for axis, ms in enumerate(fr))
+                   for fr in frame_mats],
     }
+    return mats, frame_mats
 
 
 _OP_CACHE_VERSION = 3  # v3: fused frame matrices cached; uid-scoped dir
@@ -371,13 +378,11 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
         except Exception:
             cached = None  # stale/corrupt cache entry: rebuild
     if cached is None:
-        cached = {"mats": _host_solve_matrices(psf, shifts_yx, factor,
-                                               lr_shape, dtype_name, reps)}
+        mats, frame_mats = _host_solve_matrices(psf, shifts_yx, factor,
+                                                lr_shape, dtype_name, reps)
+        cached = {"mats": mats}
         if fused_on:
-            cached["frame_mats"] = [
-                _frame_operator_matrices(psf, s, factor, lr_shape,
-                                         dtype_name)
-                for s in shifts_yx]
+            cached["frame_mats"] = frame_mats
         if path:
             os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
             if _cache_dir_trusted(path):

@@ -124,24 +124,39 @@ def main(argv=None) -> int:
     def fingerprint(sdir: str) -> frozenset:
         return frozenset(os.listdir(sdir))
 
+    def serve(dirs):
+        return process_workload(dirs, psf, cfg, args.output_dir,
+                                figures=not args.no_figures,
+                                force=args.force,
+                                batch_reps=args.batch_reps,
+                                engine=args.engine,
+                                max_batch=args.max_batch)
+
     seen: dict = {}  # sdir -> listing fingerprint at last successful pass
     total = polls = 0
     while True:
+        changed = []
         for sdir in list_sessions():
             try:
                 fp = fingerprint(sdir)
-                if seen.get(sdir) == fp:
-                    continue
-                print("[watch]", end=" ")
-                total += process_workload([sdir], psf, cfg, args.output_dir,
-                                          figures=not args.no_figures,
-                                          force=args.force,
-                                          batch_reps=args.batch_reps,
-                                          engine=args.engine,
-                                          max_batch=args.max_batch)
-                seen[sdir] = fp
-            except Exception as exc:  # noqa: BLE001 — keep serving
-                print(f"  [defer] {os.path.basename(sdir)}: {exc}")
+            except OSError:
+                continue  # session dir vanished between listing and stat
+            if seen.get(sdir) != fp:
+                changed.append((sdir, fp))
+        if changed:
+            print("[watch]", end=" ")
+            try:
+                # one stream over all changed sessions keeps cross-session
+                # unit batching alive in serve mode
+                total += serve([s for s, _ in changed])
+                seen.update(dict(changed))
+            except Exception:  # noqa: BLE001 — isolate the broken session
+                for sdir, fp in changed:
+                    try:
+                        total += serve([sdir])
+                        seen[sdir] = fp
+                    except Exception as exc:  # noqa: BLE001 — keep serving
+                        print(f"  [defer] {os.path.basename(sdir)}: {exc}")
         polls += 1
         if args.watch_polls is not None and polls >= args.watch_polls:
             break

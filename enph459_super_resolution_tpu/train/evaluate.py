@@ -72,7 +72,9 @@ def main(argv=None) -> int:
     else:
         apply_fn = model.apply
         init_in = lr0
-    model.init(jax.random.PRNGKey(0), init_in)  # sanity: kwargs build a net
+    # sanity: the kwargs build a net (tracing only; a real init would
+    # materialize every parameter on the device just to throw it away)
+    jax.eval_shape(model.init, jax.random.PRNGKey(0), init_in)
 
     ckpt_dir = os.path.abspath(os.path.join(args.run, "ckpt"))
     mngr = ocp.CheckpointManager(ckpt_dir)

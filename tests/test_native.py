@@ -113,3 +113,18 @@ def test_save_png_native_path_and_fallback(native_lib, tmp_path, monkeypatch):
     a, b = np.asarray(Image.open(p1)), np.asarray(Image.open(p2))
     assert np.array_equal(a, b)
     assert a.dtype == np.uint8 and a.max() <= 255
+
+
+def test_native_loader_corrupt_file_returns_none(native_lib, tmp_path):
+    """A truncated/garbage PNG exercises the libpng longjmp error path
+    (the serve-mode mid-write case): load must return None cleanly, not
+    crash the process."""
+    # valid 8-byte PNG signature followed by garbage -> errors inside
+    # png_read_info/png_read_image, i.e. through setjmp/longjmp
+    p = str(tmp_path / "corrupt.png")
+    with open(p, "wb") as fp:
+        fp.write(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    assert native_lib.load(p) is None
+    # repeated failures must not accumulate state or crash
+    for _ in range(5):
+        assert native_lib.load(p) is None

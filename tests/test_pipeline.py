@@ -110,7 +110,9 @@ def test_cross_session_unit_batching(tiny_session, tmp_path):
 def test_watch_serve_mode(tiny_session, tmp_path, monkeypatch):
     """`sr.run --watch` keeps serving: processes existing sessions, defers a
     session that fails to load (mid-write by collection), picks it up on a
-    later poll once complete, and never reloads completed sessions."""
+    later poll once complete, and reloads a processed session when its
+    directory listing changes (late-arriving reps) — done.flag keeps the
+    already-finished units idempotent."""
     import shutil
 
     from enph459_super_resolution_tpu.sr import run as run_mod
