@@ -107,6 +107,33 @@ def test_cross_session_unit_batching(tiny_session, tmp_path):
                             figures=False) == 0
 
 
+def test_cross_session_batching_flushes_on_shape_change(tiny_session,
+                                                        tmp_path):
+    """Units with a different (shape, shifts) key cannot join the same
+    rep-tiled batch: the stream must flush between them and still process
+    everything."""
+    from enph459_super_resolution_tpu.data.io import save_png
+    from enph459_super_resolution_tpu.sr.pipeline import process_workload
+
+    data_dir = os.path.dirname(tiny_session)
+    other = os.path.join(data_dir, "tiny_mono_wide")
+    os.makedirs(other)
+    rng = np.random.default_rng(3)
+    for ci in range(4):
+        save_png(rng.uniform(0, 255, (48, 96)).astype(np.uint8),
+                 os.path.join(other, f"corner{ci}_rep00.png"))
+
+    out = str(tmp_path / "mixed")
+    n = process_workload([tiny_session, other], make_gaussian_psf(),
+                         WORKLOADS["mono_barcodes"], out, figures=False)
+    assert n == 3  # 2 reps @ 64x80 + 1 rep @ 48x96
+    assert os.path.exists(os.path.join(out, "tiny_mono_session", "rep1",
+                                       "done.flag"))
+    wide = json.load(open(os.path.join(out, "tiny_mono_wide", "rep0",
+                                       "metrics.json")))
+    assert wide["hr_shape"] == [96, 192]
+
+
 def test_watch_serve_mode(tiny_session, tmp_path, monkeypatch):
     """`sr.run --watch` keeps serving: processes existing sessions, defers a
     session that fails to load (mid-write by collection), picks it up on a
