@@ -338,7 +338,8 @@ def _cache_dir_trusted(path: str) -> bool:
     return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
 
 
-def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
+def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
+                    fused_mode="0"):
     """All operator matrices for one solve config, as a device pytree of
     :class:`BandedOp` block decompositions.
 
@@ -361,7 +362,7 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
     """
     import pickle
 
-    mode = _fused_ibp_mode()
+    mode = fused_mode
     from ..ops.pallas_fused_ibp import FusedIBP, fused_eligible
 
     h_lr, w_lr = lr_shape
@@ -407,7 +408,7 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1):
 @functools.lru_cache(maxsize=64)
 def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
                     n_iter, step, clip_max, engine, lr_shape, dtype_name,
-                    reps=1):
+                    reps=1, fused_mode="0"):
     """Jitted full-session solver + its device-resident operator matrices,
     cached per (psf, shifts, shape, config).
 
@@ -420,7 +421,7 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
     clip = (0.0, clip_max)
     n = len(shifts_yx)
     mats = _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
-                           reps) if engine == "mm" else None
+                           reps, fused_mode) if engine == "mm" else None
 
     def rep_mse(err):
         if reps == 1:
@@ -505,7 +506,8 @@ def solve(lr_stack, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
     fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
                                shifts_key, int(factor), int(n_iter),
                                float(step), float(clip_max), engine,
-                               lr_shape, dtype_name)
+                               lr_shape, dtype_name,
+                               fused_mode=_fused_ibp_mode())
     return fn(lr_stack, mats)
 
 
@@ -538,13 +540,15 @@ def solve_batch(lr_stacks, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
         fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
                                    shifts_key, int(factor), int(n_iter),
                                    float(step), float(clip_max), engine,
-                                   lr_shape, dtype_name)
+                                   lr_shape, dtype_name,
+                                   fused_mode=_fused_ibp_mode())
         return jax.jit(jax.vmap(fn, in_axes=(0, None)))(lr_stacks, mats)
 
     fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
                                shifts_key, int(factor), int(n_iter),
                                float(step), float(clip_max), engine,
-                               lr_shape, dtype_name, reps=r)
+                               lr_shape, dtype_name, reps=r,
+                               fused_mode=_fused_ibp_mode())
     n, h, w = lr_stacks.shape[-3:]
     stacked = jnp.asarray(lr_stacks).transpose(1, 0, 2, 3).reshape(n, r * h, w)
     out = fn(stacked, mats)

@@ -206,9 +206,10 @@ def process_session_dir(session_dir: str, psf: np.ndarray, cfg: WorkloadConfig,
     return n
 
 
-def _solve_units_batched(pending, psf, cfg, output_base, figures) -> None:
+def _solve_units_batched(pending, psf, cfg, output_base, figures) -> int:
     """Solve same-shaped units as ONE device call and write per-unit
-    artifacts (mm engine; see :func:`~.classical.solve_batch`)."""
+    artifacts (mm engine; see :func:`~.classical.solve_batch`).  Returns
+    the number of units whose artifacts were written."""
     from .classical import solve_batch
 
     timer = StageTimer()
@@ -221,6 +222,7 @@ def _solve_units_batched(pending, psf, cfg, output_base, figures) -> None:
         batched = {k: np.asarray(v) for k, v in batched.items()}
     t_batch = timer.as_dict()["solve_batch"]
     print(f"  batched solve of {len(pending)} unit(s): {t_batch:.2f}s")
+    n_written = 0
     for i, unit in enumerate(pending):
         result = {k: v[i] for k, v in batched.items()}
         # fresh per-unit timer: the batch solve is amortized evenly so
@@ -231,6 +233,8 @@ def _solve_units_batched(pending, psf, cfg, output_base, figures) -> None:
         unit_timer._t["solve_batch_total"] = t_batch
         _write_unit_artifacts(unit, result, cfg, output_base, figures,
                               unit_timer)
+        n_written += 1
+    return n_written
 
 
 def process_workload(session_dirs, psf, cfg, output_base, figures=True,
@@ -260,8 +264,8 @@ def process_workload(session_dirs, psf, cfg, output_base, figures=True,
                                 force=True, engine=engine) is not None:
                     n_done += 1
         else:
-            _solve_units_batched(buffer, psf, cfg, output_base, figures)
-            n_done += len(buffer)
+            n_done += _solve_units_batched(buffer, psf, cfg, output_base,
+                                           figures)
         buffer = []
 
     for sdir in session_dirs:

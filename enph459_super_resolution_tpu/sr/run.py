@@ -42,7 +42,8 @@ def main(argv=None) -> int:
     import jax
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_srtpu"))
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       f"/tmp/jax_cache_srtpu_{os.getuid()}"))
 
     # Heavy imports only after the platform is pinned.
     from ..psf.kernels import load_measured_psf, make_gaussian_psf
@@ -122,7 +123,17 @@ def main(argv=None) -> int:
     # finished units idempotent).  Failed loads (session mid-write) retry
     # on the next poll.
     def fingerprint(sdir: str) -> frozenset:
-        return frozenset(os.listdir(sdir))
+        # (name, size, mtime) per entry: a collector REWRITING a file under
+        # an existing name must also change the fingerprint, not just
+        # additions/removals (missing entries race with deleters: skip)
+        out = set()
+        for name in os.listdir(sdir):
+            try:
+                st = os.stat(os.path.join(sdir, name))
+                out.add((name, st.st_size, st.st_mtime_ns))
+            except OSError:
+                out.add((name, -1, -1))
+        return frozenset(out)
 
     def serve(dirs):
         return process_workload(dirs, psf, cfg, args.output_dir,

@@ -32,7 +32,11 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
           pool_images: int = 32,
           vgg_weights: Optional[str] = None,
           init_from: Optional[str] = None,
-          steps_per_dispatch: int = 1) -> dict:
+          steps_per_dispatch: int = 1,
+          gan_weight: float = 5e-3,
+          d_lr_scale: float = 1.0,
+          d_every: int = 1,
+          instance_noise: float = 0.0) -> dict:
     """Train a zoo model; returns the final eval metrics."""
     from ..models import VGGStyleDiscriminator, create_model
     from ..parallel import make_mesh, shard_train_step
@@ -103,9 +107,11 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
               f"step {src.latest_step()}")
 
     if gan:
+        import dataclasses as _dc
         disc = VGGStyleDiscriminator(nf=32)
         d_params = disc.init(jax.random.PRNGKey(seed + 1), hr0[:1])
-        d_tx = make_optimizer(cfg)
+        d_tx = make_optimizer(
+            _dc.replace(cfg, learning_rate=learning_rate * d_lr_scale))
         from .losses import PerceptualLoss
         feat_fn = None  # default: weight-free gradient features
         if vgg_weights:
@@ -118,7 +124,10 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         state = GANTrainState(step=jnp.zeros((), jnp.int32), g=g0,
                               d_params=d_params, d_opt_state=d_tx.init(d_params))
         step_fn = make_gan_train_step(apply_fn, disc.apply, tx, d_tx, cfg,
-                                      percep_loss=PerceptualLoss(feat_fn))
+                                      percep_loss=PerceptualLoss(feat_fn),
+                                      gan_weight=gan_weight, d_every=d_every,
+                                      instance_noise=instance_noise,
+                                      noise_seed=seed + 2)
     else:
         state = TrainState.create(params, tx)
         if init_ema is not None:
@@ -232,6 +241,19 @@ def main(argv=None) -> int:
     p.add_argument("--channels", type=int, default=3)
     p.add_argument("--gan", action="store_true",
                    help="ESRGAN-style adversarial fine-tune")
+    p.add_argument("--gan-weight", type=float, default=5e-3,
+                   help="λ on the RaGAN generator term; 0 = perceptual-only "
+                        "ablation (the D still trains but contributes no "
+                        "gradient to G)")
+    p.add_argument("--d-lr-scale", type=float, default=1.0,
+                   help="discriminator learning rate = --learning-rate × "
+                        "this (lower it when d_loss saturates to ~0)")
+    p.add_argument("--d-every", type=int, default=1,
+                   help="update the discriminator only every N steps")
+    p.add_argument("--instance-noise", type=float, default=0.0,
+                   help="σ (pixel counts, 0..255 scale) of Gaussian noise on "
+                        "D inputs — keeps D from separating real/fake "
+                        "perfectly")
     p.add_argument("--vgg-weights", default=None,
                    help="torchvision vgg19 .pth: use the paper-exact "
                         "pre-activation conv5_4 perceptual loss (default: "
@@ -270,7 +292,9 @@ def main(argv=None) -> int:
                   vgg_weights=args.vgg_weights, init_from=args.init_from,
                   model_kwargs=(json.loads(args.model_kwargs)
                                 if args.model_kwargs else None),
-                  steps_per_dispatch=args.steps_per_dispatch)
+                  steps_per_dispatch=args.steps_per_dispatch,
+                  gan_weight=args.gan_weight, d_lr_scale=args.d_lr_scale,
+                  d_every=args.d_every, instance_noise=args.instance_noise)
     print(json.dumps(final))
     return 0
 

@@ -118,37 +118,75 @@ def make_gan_train_step(g_apply: Callable, d_apply: Callable,
                         g_tx, d_tx, cfg: TrainConfig,
                         pixel_weight: float = 1e-2,
                         percep_loss: Optional[Callable] = None,
-                        gan_weight: float = 5e-3):
-    """ESRGAN objective: L_G = percep + λ·RaGAN + η·L1; alternating D step."""
+                        gan_weight: float = 5e-3,
+                        d_every: int = 1,
+                        instance_noise: float = 0.0,
+                        noise_seed: int = 0):
+    """ESRGAN objective: L_G = percep + λ·RaGAN + η·L1; alternating D step.
+
+    Balance knobs (a saturating discriminator — d_loss → 0 — starves the
+    generator of adversarial gradient):
+      * ``d_every``: update D only every N steps (G gets N steps per D step).
+      * ``instance_noise``: σ of Gaussian noise (in pixel counts, images are
+        0..255) added to BOTH real and fake D inputs — keeps the supports of
+        the two distributions overlapping so D cannot separate them
+        perfectly (Sønderby et al. 2016).
+      * A weaker D optimizer is the caller's job (pass a ``d_tx`` built from
+        a lower learning rate).
+    ``gan_weight=0`` turns the step into the perceptual-only ablation (the
+    D still trains, but contributes no gradient to G).
+    """
     from .losses import l1_loss, ragan_discriminator_loss, ragan_generator_loss
 
-    def g_loss_fn(g_params, d_params, lr, hr):
+    base_key = jax.random.PRNGKey(noise_seed)
+
+    def noisy(x, key):
+        if instance_noise <= 0.0:
+            return x
+        return x + instance_noise * jax.random.normal(key, x.shape, x.dtype)
+
+    def g_loss_fn(g_params, d_params, lr, hr, key):
         sr = g_apply(g_params, lr)
-        fake_logits = d_apply(d_params, sr)
-        real_logits = d_apply(d_params, hr)
+        kf, kr = jax.random.split(key)
+        fake_logits = d_apply(d_params, noisy(sr, kf))
+        real_logits = d_apply(d_params, noisy(hr, kr))
         loss = gan_weight * ragan_generator_loss(real_logits, fake_logits)
         loss = loss + pixel_weight * l1_loss(sr, hr)
         if percep_loss is not None:
             loss = loss + percep_loss(sr, hr)
         return loss, sr
 
-    def d_loss_fn(d_params, sr, hr):
-        fake_logits = d_apply(d_params, jax.lax.stop_gradient(sr))
-        real_logits = d_apply(d_params, hr)
+    def d_loss_fn(d_params, sr, hr, key):
+        kf, kr = jax.random.split(key)
+        fake_logits = d_apply(d_params,
+                              noisy(jax.lax.stop_gradient(sr), kf))
+        real_logits = d_apply(d_params, noisy(hr, kr))
         return ragan_discriminator_loss(real_logits, fake_logits)
 
     def step(state: GANTrainState, lr, hr):
+        key = jax.random.fold_in(base_key, state.step)
+        kg, kd = jax.random.split(key)
         (g_loss, sr), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g.params, state.d_params, lr, hr)
+            state.g.params, state.d_params, lr, hr, kg)
         g_updates, g_opt = g_tx.update(g_grads, state.g.opt_state,
                                        state.g.params)
         g_params = optax.apply_updates(state.g.params, g_updates)
         ema = ema_update(state.g.ema_params, g_params, cfg.ema_decay)
 
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params, sr, hr)
-        d_updates, d_opt = d_tx.update(d_grads, state.d_opt_state,
-                                       state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+            state.d_params, sr, hr, kd)
+
+        def upd_d(_):
+            d_updates, d_opt = d_tx.update(d_grads, state.d_opt_state,
+                                           state.d_params)
+            return optax.apply_updates(state.d_params, d_updates), d_opt
+
+        if d_every > 1:
+            d_params, d_opt = jax.lax.cond(
+                state.step % d_every == 0, upd_d,
+                lambda _: (state.d_params, state.d_opt_state), None)
+        else:
+            d_params, d_opt = upd_d(None)
 
         new_state = GANTrainState(
             step=state.step + 1,
