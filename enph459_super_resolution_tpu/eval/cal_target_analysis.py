@@ -33,6 +33,25 @@ from ..psf.toolkit import mtf_at_fraction
 METHODS = [("Native-2x", "native_2x.png"), ("SAA", "SAA.png"),
            ("SAA+IBP", "SAA_IBP.png")]
 
+# The notebooks' hand-picked geometry, verbatim (the ROIs are properties of
+# the physical ISO-12233 chart layout in the checked-in captures, so they
+# are data, not tunables):
+#   mono: ``mono_cal_target/analysis.ipynb`` cell 3 (PROFILE_COL_HR=2700,
+#     ROI1 rows 1240:1560), cell 6 (ROI2_LR (950:1050, 1280:1380) -> HR
+#     (1900:2100, 2560:2760)), cell 9 (HR pitch = 3.45 um / 2).
+#   rgb: ``rgb_cal_target/analysis.ipynb`` cell 4 (col 1350, rows 620:780),
+#     cell 7 (ROI2_HR (475:525, 640:690)), cell 10 (red-channel HR pitch =
+#     sensor 3.45 um x Bayer 2 / SR 2 = 3.45 um, expressed here as an
+#     effective 6.9 um red-LR pitch / 2x upsample).
+PRESETS = {
+    "mono_cal_target": dict(profile_col=2700, roi1_rows=(1240, 1560),
+                            roi2=(1900, 2100, 2560, 2760),
+                            pixel_pitch_um=3.45, upsample=2),
+    "rgb_cal_target": dict(profile_col=1350, roi1_rows=(620, 780),
+                           roi2=(475, 525, 640, 690),
+                           pixel_pitch_um=6.9, upsample=2),
+}
+
 
 def load_results_dir(results_dir: str) -> Dict[str, np.ndarray]:
     """HR method images + bicubic-2x of the LR mean as the baseline
@@ -54,7 +73,7 @@ def load_results_dir(results_dir: str) -> Dict[str, np.ndarray]:
 
 
 def analyse(results_dir: str, profile_col: int = 2700,
-            roi1_rows=(1240, 1560), roi2=(1100, 1400, 1500, 1800),
+            roi1_rows=(1240, 1560), roi2=(1900, 2100, 2560, 2760),
             pixel_pitch_um: Optional[float] = 3.45, upsample: int = 2,
             contrast_window: int = 16, side: str = "left") -> Dict:
     imgs = load_results_dir(results_dir)
@@ -87,10 +106,17 @@ def analyse(results_dir: str, profile_col: int = 2700,
                 else:
                     freq_out, nyq, unit = freq, 0.5, "cycles/px"
                 sel = (freq_out >= 0) & (freq_out <= nyq)
+                # *_full: the notebooks' summary-table semantics (cell 10/11:
+                # ``valid = freq > 0`` with NO Nyquist cap — a crossing above
+                # Nyquist is reported, not nan'd); the capped values are the
+                # physically meaningful ones.
+                full = freq_out > 0
                 rec.update(
                     edge_angle_deg=angle,
                     mtf50=mtf_at_fraction(freq_out[sel], mtf[sel], 0.5),
                     mtf10=mtf_at_fraction(freq_out[sel], mtf[sel], 0.1),
+                    mtf50_full=mtf_at_fraction(freq_out[full], mtf[full], 0.5),
+                    mtf10_full=mtf_at_fraction(freq_out[full], mtf[full], 0.1),
                     nyquist=nyq, freq_unit=unit,
                 )
             except RuntimeError as exc:  # no detectable edge in ROI
@@ -127,13 +153,17 @@ def save_figures(analysis: Dict, out_dir: str) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("results_dir")
-    p.add_argument("--profile-col", type=int, default=2700)
-    p.add_argument("--roi1-rows", type=int, nargs=2, default=(1240, 1560))
-    p.add_argument("--roi2", type=int, nargs=4,
-                   default=(1100, 1400, 1500, 1800),
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None,
+                   help="notebook geometry preset: sets profile-col/"
+                        "roi1-rows/roi2/pixel-pitch/upsample to the "
+                        "corresponding analysis.ipynb values (explicit "
+                        "flags still override)")
+    p.add_argument("--profile-col", type=int, default=None)
+    p.add_argument("--roi1-rows", type=int, nargs=2, default=None)
+    p.add_argument("--roi2", type=int, nargs=4, default=None,
                    help="slanted-edge ROI: r0 r1 c0 c1 (HR px)")
-    p.add_argument("--pixel-pitch-um", type=float, default=3.45)
-    p.add_argument("--upsample", type=int, default=2)
+    p.add_argument("--pixel-pitch-um", type=float, default=None)
+    p.add_argument("--upsample", type=int, default=None)
     p.add_argument("--side", choices=["left", "right"], default="left")
     p.add_argument("--no-figures", action="store_true")
     p.add_argument("--out-dir", default=None,
@@ -146,9 +176,20 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    analysis = analyse(args.results_dir, args.profile_col,
-                       tuple(args.roi1_rows), tuple(args.roi2),
-                       args.pixel_pitch_um, args.upsample, side=args.side)
+    base = dict(PRESETS["mono_cal_target"] if args.preset is None
+                else PRESETS[args.preset])
+    for flag, key in (("profile_col", "profile_col"),
+                      ("roi1_rows", "roi1_rows"), ("roi2", "roi2"),
+                      ("pixel_pitch_um", "pixel_pitch_um"),
+                      ("upsample", "upsample")):
+        v = getattr(args, flag)
+        if v is not None:
+            base[key] = tuple(v) if isinstance(v, list) else v
+
+    analysis = analyse(args.results_dir, base["profile_col"],
+                       tuple(base["roi1_rows"]), tuple(base["roi2"]),
+                       base["pixel_pitch_um"], base["upsample"],
+                       side=args.side)
     out_dir = args.out_dir or args.results_dir
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "analysis.json")
