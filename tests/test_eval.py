@@ -33,6 +33,45 @@ def test_ssim_matches_skimage():
     assert abs(got - want) < 5e-3
 
 
+def _ssim_reference_numpy(x, y, data_range=255.0, sigma=1.5, k1=0.01,
+                          k2=0.03):
+    """Independent oracle: Wang et al. 2004 SSIM in the exact skimage
+    protocol (gaussian_weights=True, sigma=1.5, use_sample_covariance=
+    False => Gaussian window truncated at 3.5 sigma, population
+    covariances, valid-region mean after cropping the filter radius).
+    Pure scipy/numpy so the oracle cross-check runs hermetically —
+    skimage itself is not installed in every environment."""
+    import scipy.ndimage as ndi
+
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    filt = lambda im: ndi.gaussian_filter(im, sigma, truncate=3.5)
+    ux, uy = filt(x), filt(y)
+    uxx, uyy, uxy = filt(x * x), filt(y * y), filt(x * y)
+    vx = uxx - ux * ux
+    vy = uyy - uy * uy
+    vxy = uxy - ux * uy
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx + vy + c2))
+    pad = int(3.5 * sigma + 0.5)  # skimage crops the filter radius
+    return float(s[pad:-pad, pad:-pad].mean())
+
+
+def test_ssim_matches_hermetic_oracle():
+    """The SSIM oracle cross-check that runs everywhere (the skimage test
+    above skips wherever skimage is absent — which is exactly this target
+    environment).  Deterministic seeded inputs at three noise levels."""
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 255, (64, 64))
+    for noise in (5.0, 12.0, 40.0):
+        b = np.clip(a + rng.normal(0, noise, a.shape), 0, 255)
+        want = _ssim_reference_numpy(a, b)
+        got = float(ssim(a, b))
+        assert abs(got - want) < 5e-3, (noise, got, want)
+
+
 def test_ssim_identity_and_ordering():
     a = RNG.uniform(0, 255, (48, 48))
     assert float(ssim(a, a)) > 0.999
