@@ -275,33 +275,65 @@ class BandedOp:
                 out.packed = (starts, bands)
         return out
 
+    def _is_bf16(self) -> bool:
+        return jnp.asarray(self.blocks[0]).dtype == jnp.bfloat16
+
     def row_apply(self, x):
         """self @ x along x's row (-2) axis."""
         if self.packed is not None and x.ndim == 2 and \
-                x.shape[-1] % 256 == 0:
+                x.shape[-1] % 256 == 0 and not self._is_bf16():
             from .pallas_kernels import _banded_row_pallas
 
             starts, bands = self.packed
             return _banded_row_pallas(
                 jnp.asarray(starts), jnp.asarray(bands, x.dtype), x,
                 self.n_out, int(bands.shape[-1]), 256)
-        parts = [
-            jnp.einsum("oh,...hw->...ow", jnp.asarray(blk, x.dtype),
-                       x[..., lo:hi, :], precision=_MM_PRECISION)
-            for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
-        ]
+        if self._is_bf16():
+            # bf16 band storage (SRTPU_BAND_STORE=bf16): halve operator
+            # HBM traffic; the MXU multiplies bf16 operands natively with
+            # f32 accumulation (preferred_element_type) — precision cost
+            # is the bf16 rounding of operator entries + image operand
+            parts = [
+                jnp.einsum("oh,...hw->...ow", jnp.asarray(blk),
+                           x[..., lo:hi, :].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+                for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
+            ]
+        else:
+            parts = [
+                jnp.einsum("oh,...hw->...ow", jnp.asarray(blk, x.dtype),
+                           x[..., lo:hi, :], precision=_MM_PRECISION)
+                for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
+            ]
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                                 axis=-2)
 
     def col_apply(self, x):
         """x @ self^T along x's column (-1) axis."""
-        parts = [
-            jnp.einsum("...hw,ow->...ho", x[..., :, lo:hi],
-                       jnp.asarray(blk, x.dtype), precision=_MM_PRECISION)
-            for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
-        ]
+        if self._is_bf16():
+            parts = [
+                jnp.einsum("...hw,ow->...ho",
+                           x[..., :, lo:hi].astype(jnp.bfloat16),
+                           jnp.asarray(blk),
+                           preferred_element_type=jnp.float32)
+                for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
+            ]
+        else:
+            parts = [
+                jnp.einsum("...hw,ow->...ho", x[..., :, lo:hi],
+                           jnp.asarray(blk, x.dtype),
+                           precision=_MM_PRECISION)
+                for blk, (lo, hi) in zip(self.blocks, self.col_ranges)
+            ]
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                                 axis=-1)
+
+    def astype_band(self, dtype) -> "BandedOp":
+        """Copy with blocks stored in ``dtype`` (e.g. bfloat16 for the
+        traffic-halving experiment); drops the Pallas pack (the banded
+        kernel is f32-only)."""
+        blocks = [np.asarray(b).astype(dtype) for b in self.blocks]
+        return BandedOp(blocks, self.col_ranges, self.n_out, self.n_in)
 
     def tree_flatten(self):
         leaves = tuple(self.blocks) + (

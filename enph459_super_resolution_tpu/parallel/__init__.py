@@ -3,6 +3,7 @@
 from .mesh import (
     batch_sharding,
     make_mesh,
+    parse_mesh_spec,
     replicated,
     shard_params_tp,
     shard_train_step,
@@ -10,7 +11,8 @@ from .mesh import (
 from .tiled import halo_exchange, sharded_ibp, solve_sharded, tiled_apply
 
 __all__ = [
-    "batch_sharding", "make_mesh", "replicated", "shard_params_tp",
+    "batch_sharding", "make_mesh", "parse_mesh_spec", "replicated",
+    "shard_params_tp",
     "shard_train_step", "halo_exchange", "sharded_ibp", "solve_sharded",
     "tiled_apply",
 ]

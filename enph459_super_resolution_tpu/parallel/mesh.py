@@ -36,6 +36,34 @@ def make_mesh(axes: Optional[Dict[str, int]] = None,
     return Mesh(dev_array, names)
 
 
+def parse_mesh_spec(spec: str) -> Dict[str, int]:
+    """Parse a CLI mesh spec like ``"dp=2,tp=2"`` or ``"dp=2,sp=2,tp=2"``.
+
+    Axis names must come from {dp, sp, tp}; sizes are positive ints.  The
+    product must match the device count at :func:`make_mesh` time (checked
+    there).
+    """
+    axes: Dict[str, int] = {}
+    for part in spec.replace("x", ",").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"mesh spec entry {part!r} is not name=size")
+        name, _, size = part.partition("=")
+        name = name.strip()
+        if name not in ("dp", "sp", "tp"):
+            raise ValueError(f"unknown mesh axis {name!r} (use dp/sp/tp)")
+        if name in axes:
+            raise ValueError(f"duplicate mesh axis {name!r}")
+        axes[name] = int(size)
+        if axes[name] < 1:
+            raise ValueError(f"mesh axis {name}={axes[name]} must be >= 1")
+    if not axes:
+        raise ValueError(f"empty mesh spec {spec!r}")
+    return axes
+
+
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Shard the leading (batch) dim over ``axis``, replicate the rest."""
     return NamedSharding(mesh, P(axis))
@@ -64,11 +92,17 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "tp"):
         lambda x: jax.device_put(x, spec_for(x)), params)
 
 
-def shard_train_step(step_fn, mesh: Mesh, dp_axis: str = "dp"):
-    """Jit a ``step(state, lr, hr)`` with batch sharded over ``dp`` and the
-    state's sharding left to GSPMD (replicated params by default), donating
-    the state buffers."""
-    data_s = batch_sharding(mesh, dp_axis)
+def shard_train_step(step_fn, mesh: Mesh, dp_axis: str = "dp",
+                     sp_axis: Optional[str] = None):
+    """Jit a ``step(state, lr, hr)`` with batch sharded over ``dp`` (and,
+    when ``sp_axis`` is given, the patch H dim sharded over ``sp`` — GSPMD
+    inserts the conv halo exchanges) and the state's sharding left to GSPMD
+    (replicated params by default; TP-sharded if the caller laid the state
+    out with :func:`shard_params_tp`), donating the state buffers."""
+    dims = [dp_axis if dp_axis in mesh.shape else None]
+    if sp_axis and sp_axis in mesh.shape:
+        dims.append(sp_axis)
+    data_s = NamedSharding(mesh, P(*dims))
     return jax.jit(
         step_fn,
         in_shardings=(None, data_s, data_s),

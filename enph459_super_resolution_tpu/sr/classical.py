@@ -218,6 +218,16 @@ def _fused_ibp_mode() -> str:
     return os.environ.get("SRTPU_FUSED_IBP", "0")
 
 
+def _band_store() -> str:
+    """SRTPU_BAND_STORE: 'f32' (default) or 'bf16' — store banded-operator
+    blocks in bfloat16 and run the applies as native-bf16 MXU matmuls with
+    f32 accumulation.  Halves operator HBM traffic (the hypothesis from the
+    round-2 roofline audit: the IBP iteration is traffic-bound); costs the
+    bf16 rounding of operator entries and image operands, so uint8 golden
+    parity loosens from +/-1 to a few counts (measured; see PERF_NOTES)."""
+    return os.environ.get("SRTPU_BAND_STORE", "f32")
+
+
 def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
                          reps=1):
     """Host-side (numpy) build of one solve config's operator pytree.
@@ -339,7 +349,7 @@ def _cache_dir_trusted(path: str) -> bool:
 
 
 def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
-                    fused_mode="0"):
+                    fused_mode="0", band_store="f32"):
     """All operator matrices for one solve config, as a device pytree of
     :class:`BandedOp` block decompositions.
 
@@ -402,13 +412,27 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
         mats["fused"] = FusedIBP.build(
             cached["frame_mats"], lr_shape, (h_lr * factor, w_lr * factor),
             reps=reps, interpret=(mode == "interpret"))
+    if band_store == "bf16":
+        # SRTPU_BAND_STORE=bf16: store every banded operator's blocks in
+        # bfloat16 (cast post-load — the disk cache stays f32) to halve
+        # operator HBM traffic; applies accumulate in f32 on the MXU.
+        # Loosens uint8 parity like SRTPU_MM_PRECISION=DEFAULT does.
+        from ..ops.opmatrix import BandedOp as _BOp
+
+        def _cast(v):
+            if isinstance(v, _BOp):
+                return v.astype_band(jnp.bfloat16)
+            if isinstance(v, (list, tuple)):
+                return type(v)(_cast(u) for u in v)
+            return v
+        mats = {k: _cast(v) for k, v in mats.items()}
     return _device_put_dedup(mats)
 
 
 @functools.lru_cache(maxsize=64)
 def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
                     n_iter, step, clip_max, engine, lr_shape, dtype_name,
-                    reps=1, fused_mode="0"):
+                    reps=1, fused_mode="0", band_store="f32"):
     """Jitted full-session solver + its device-resident operator matrices,
     cached per (psf, shifts, shape, config).
 
@@ -421,7 +445,8 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
     clip = (0.0, clip_max)
     n = len(shifts_yx)
     mats = _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
-                           reps, fused_mode) if engine == "mm" else None
+                           reps, fused_mode,
+                           band_store) if engine == "mm" else None
 
     def rep_mse(err):
         if reps == 1:
@@ -507,7 +532,8 @@ def solve(lr_stack, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
                                shifts_key, int(factor), int(n_iter),
                                float(step), float(clip_max), engine,
                                lr_shape, dtype_name,
-                               fused_mode=_fused_ibp_mode())
+                               fused_mode=_fused_ibp_mode(),
+                               band_store=_band_store())
     return fn(lr_stack, mats)
 
 
@@ -541,14 +567,16 @@ def solve_batch(lr_stacks, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
                                    shifts_key, int(factor), int(n_iter),
                                    float(step), float(clip_max), engine,
                                    lr_shape, dtype_name,
-                                   fused_mode=_fused_ibp_mode())
+                                   fused_mode=_fused_ibp_mode(),
+                                   band_store=_band_store())
         return jax.jit(jax.vmap(fn, in_axes=(0, None)))(lr_stacks, mats)
 
     fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
                                shifts_key, int(factor), int(n_iter),
                                float(step), float(clip_max), engine,
                                lr_shape, dtype_name, reps=r,
-                               fused_mode=_fused_ibp_mode())
+                               fused_mode=_fused_ibp_mode(),
+                               band_store=_band_store())
     n, h, w = lr_stacks.shape[-3:]
     stacked = jnp.asarray(lr_stacks).transpose(1, 0, 2, 3).reshape(n, r * h, w)
     out = fn(stacked, mats)

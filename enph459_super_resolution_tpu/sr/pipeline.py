@@ -15,6 +15,7 @@ import os
 import time
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -78,8 +79,13 @@ def save_figures(hr_images: Dict[str, np.ndarray], lr_mean: np.ndarray,
 
 def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
                  output_base: str, figures: bool = True,
-                 force: bool = False, engine: str = "mm") -> Optional[str]:
+                 force: bool = False, engine: str = "mm",
+                 sp: int = 1) -> Optional[str]:
     """Run one SR unit (a session or one rep) end to end.
+
+    ``sp > 1`` shards the IBP image plane over an sp-device mesh
+    (:func:`~..parallel.solve_sharded`: explicit ppermute halo exchange,
+    full-array parity with the unsharded solve — tests/test_parallel.py).
 
     Returns the output dir, or None when skipped via ``done.flag``
     (idempotent resume, ``mono_barcodes/run_sr.py:306-308``).
@@ -96,10 +102,18 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
         frames = jnp.asarray(session.frames)
 
     with timer.stage("solve"):
-        result = solve(frames, psf, session.shifts,
-                       factor=cfg.upsample_factor,
-                       n_iter=cfg.ibp_iterations, step=cfg.ibp_step,
-                       engine=engine)
+        if sp > 1:
+            from ..parallel import make_mesh, solve_sharded
+            mesh = make_mesh({"sp": sp}, devices=jax.devices()[:sp])
+            result = solve_sharded(frames, psf, session.shifts, mesh,
+                                   factor=cfg.upsample_factor,
+                                   n_iter=cfg.ibp_iterations,
+                                   step=cfg.ibp_step)
+        else:
+            result = solve(frames, psf, session.shifts,
+                           factor=cfg.upsample_factor,
+                           n_iter=cfg.ibp_iterations, step=cfg.ibp_step,
+                           engine=engine)
         result = {k: np.asarray(v) for k, v in result.items()}  # d2h sync
 
     return _write_unit_artifacts(session, result, cfg, output_base, figures,
@@ -239,7 +253,7 @@ def _solve_units_batched(pending, psf, cfg, output_base, figures) -> int:
 
 def process_workload(session_dirs, psf, cfg, output_base, figures=True,
                      force=False, batch_reps=True, engine: str = "mm",
-                     max_batch: int = 4) -> int:
+                     max_batch: int = 4, sp: int = 1) -> int:
     """Process many sessions with CROSS-SESSION unit batching.
 
     The reference iterates sessions one at a time
@@ -249,7 +263,9 @@ def process_workload(session_dirs, psf, cfg, output_base, figures=True,
     ``max_batch`` (the data-parallel axis spanning sessions, not just reps
     within one).  Artifacts, prints, and done.flag semantics are identical
     to per-session processing — only the device dispatch granularity
-    changes.  Falls back to sequential units for the conv engine.
+    changes.  Falls back to sequential units for the conv engine and for
+    the spatially-sharded path (``sp > 1``: each unit's image plane is
+    already split over the mesh, so units go one at a time).
     """
     buffer: list = []
     n_done = 0
@@ -258,10 +274,11 @@ def process_workload(session_dirs, psf, cfg, output_base, figures=True,
         nonlocal buffer, n_done
         if not buffer:
             return
-        if len(buffer) == 1 or engine != "mm" or not batch_reps:
+        if len(buffer) == 1 or engine != "mm" or not batch_reps or sp > 1:
             for u in buffer:
                 if process_unit(u, psf, cfg, output_base, figures,
-                                force=True, engine=engine) is not None:
+                                force=True, engine=engine,
+                                sp=sp) is not None:
                     n_done += 1
         else:
             n_done += _solve_units_batched(buffer, psf, cfg, output_base,

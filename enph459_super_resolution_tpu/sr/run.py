@@ -74,6 +74,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-batch", type=int, default=4,
                    help="max units per batched device solve (cross-session "
                         "batching; operator memory scales with it)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="shard each unit's IBP image plane over this many "
+                        "devices (spatial parallelism: ppermute halo "
+                        "exchange over ICI, full-array parity with the "
+                        "unsharded solve; image H must divide by it)")
     p.add_argument("--watch", type=float, default=None, metavar="SECONDS",
                    help="serve mode: after processing existing sessions, "
                         "keep polling --data-dir every SECONDS for new ones "
@@ -112,7 +117,8 @@ def main(argv=None) -> int:
                                  force=args.force,
                                  batch_reps=args.batch_reps,
                                  engine=args.engine,
-                                 max_batch=args.max_batch)
+                                 max_batch=args.max_batch,
+                                 sp=args.sp)
         print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
         return 0
 
@@ -141,7 +147,8 @@ def main(argv=None) -> int:
                                 force=args.force,
                                 batch_reps=args.batch_reps,
                                 engine=args.engine,
-                                max_batch=args.max_batch)
+                                max_batch=args.max_batch,
+                                sp=args.sp)
 
     seen: dict = {}  # sdir -> listing fingerprint at last successful pass
     total = polls = 0

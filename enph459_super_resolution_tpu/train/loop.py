@@ -36,10 +36,19 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
           gan_weight: float = 5e-3,
           d_lr_scale: float = 1.0,
           d_every: int = 1,
-          instance_noise: float = 0.0) -> dict:
-    """Train a zoo model; returns the final eval metrics."""
+          instance_noise: float = 0.0,
+          mesh_spec: Optional[str] = None) -> dict:
+    """Train a zoo model; returns the final eval metrics.
+
+    ``mesh_spec`` (e.g. ``"dp=2,tp=2"`` or ``"dp=2,sp=2,tp=2"``) trains
+    over an explicit device mesh: batch sharded over dp (and patch rows
+    over sp when given), params TP-sharded over tp via
+    :func:`~..parallel.shard_params_tp`.  Default (None): dp over all
+    devices when more than one is visible.
+    """
     from ..models import VGGStyleDiscriminator, create_model
-    from ..parallel import make_mesh, shard_train_step
+    from ..parallel import (make_mesh, parse_mesh_spec, shard_params_tp,
+                            shard_train_step)
     from .data import (PatchConfig, PatchSampler, evaluate_sr,
                        image_pool_from_dir, synthetic_scene_pool)
     from .state import (GANTrainState, TrainConfig, TrainState,
@@ -76,6 +85,25 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         init_in = lr0[:1]
     params = model.init(jax.random.PRNGKey(seed), init_in)
 
+    # device mesh: explicit spec > implicit all-device dp > single device
+    mesh = None
+    mesh_axes: dict = {}
+    if mesh_spec:
+        mesh_axes = parse_mesh_spec(mesh_spec)
+        n_mesh = 1
+        for v in mesh_axes.values():
+            n_mesh *= v
+        mesh = make_mesh(mesh_axes, devices=jax.devices()[:n_mesh])
+    elif dp and len(jax.devices()) > 1:
+        mesh_axes = {"dp": len(jax.devices())}
+        mesh = make_mesh(mesh_axes)
+    tp_on = mesh is not None and mesh_axes.get("tp", 1) > 1
+
+    def maybe_tp(p):
+        return shard_params_tp(p, mesh, "tp") if tp_on else p
+
+    params = maybe_tp(params)
+
     cfg = TrainConfig(learning_rate=learning_rate, loss=loss,
                       lr_halve_every=max(steps // 2, 1))
     tx = make_optimizer(cfg)
@@ -102,14 +130,15 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         restored = src.restore(src.latest_step(),
                                args=ocp.args.StandardRestore(
                                    TrainState.create(params, tx)))
-        params, init_ema = restored.params, restored.ema_params
+        params = maybe_tp(restored.params)
+        init_ema = maybe_tp(restored.ema_params)
         print(f"initialized generator from {init_from} "
               f"step {src.latest_step()}")
 
     if gan:
         import dataclasses as _dc
         disc = VGGStyleDiscriminator(nf=32)
-        d_params = disc.init(jax.random.PRNGKey(seed + 1), hr0[:1])
+        d_params = maybe_tp(disc.init(jax.random.PRNGKey(seed + 1), hr0[:1]))
         d_tx = make_optimizer(
             _dc.replace(cfg, learning_rate=learning_rate * d_lr_scale))
         from .losses import PerceptualLoss
@@ -141,9 +170,9 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         start_step = int(latest)
         print(f"resumed from step {start_step}")
 
-    if dp and len(jax.devices()) > 1:
-        mesh = make_mesh({"dp": len(jax.devices())})
-        step = shard_train_step(step_fn, mesh)
+    if mesh is not None:
+        step = shard_train_step(step_fn, mesh,
+                                sp_axis="sp" if "sp" in mesh_axes else None)
         steps_per_dispatch = 1  # sharded path stays one step per dispatch
     else:
         step = jax.jit(step_fn, donate_argnums=(0,))
@@ -275,6 +304,11 @@ def main(argv=None) -> int:
                         "(lax.scan): amortizes per-dispatch RTT on remote/"
                         "tunneled backends; use a divisor of the log/ckpt/"
                         "eval cadences (e.g. 10, 25, 50)")
+    p.add_argument("--mesh", default=None, metavar="SPEC",
+                   help='explicit device mesh, e.g. "dp=2,tp=2" or '
+                        '"dp=2,sp=2,tp=2": batch over dp, patch rows over '
+                        'sp, conv feature dims over tp (default: dp over '
+                        'all visible devices)')
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
@@ -294,7 +328,8 @@ def main(argv=None) -> int:
                                 if args.model_kwargs else None),
                   steps_per_dispatch=args.steps_per_dispatch,
                   gan_weight=args.gan_weight, d_lr_scale=args.d_lr_scale,
-                  d_every=args.d_every, instance_noise=args.instance_noise)
+                  d_every=args.d_every, instance_noise=args.instance_noise,
+                  mesh_spec=args.mesh)
     print(json.dumps(final))
     return 0
 

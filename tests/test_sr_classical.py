@@ -171,6 +171,29 @@ def test_mm_engine_matches_conv_engine_and_oracle():
                                rtol=3e-3)
 
 
+def test_band_store_bf16_stays_within_loose_parity(monkeypatch):
+    """SRTPU_BAND_STORE=bf16 (operator blocks stored bfloat16, native-bf16
+    MXU matmuls, f32 accumulation — the operator-traffic-halving
+    experiment) must track the f32 engine within a few uint8 counts, like
+    SRTPU_MM_PRECISION=DEFAULT (the same class of rounding)."""
+    from enph459_super_resolution_tpu.sr.classical import to_uint8
+
+    psf = make_gaussian_psf()
+    hr_true = make_scene(64, 80)
+    lrs = np.stack([np_forward(hr_true, psf, s, 2) for s in SHIFTS])
+    dev = jnp.asarray(lrs, jnp.float32)
+
+    want = solve(dev, psf, SHIFTS, n_iter=20)
+    monkeypatch.setenv("SRTPU_BAND_STORE", "bf16")
+    got = solve(dev, psf, SHIFTS, n_iter=20)  # cache keys on the env knob
+    for k in ("native", "saa", "ibp"):
+        a = to_uint8(want[k]).astype(np.int16)
+        b = to_uint8(got[k]).astype(np.int16)
+        assert np.abs(a - b).max() <= 3, k
+    np.testing.assert_allclose(np.asarray(got["mse_history"]),
+                               np.asarray(want["mse_history"]), rtol=0.05)
+
+
 def test_measured_psf_rank_deficient_separable():
     """Non-separable PSFs route through the SVD rank expansion exactly."""
     from enph459_super_resolution_tpu.ops.opmatrix import psf_separable_factors
