@@ -137,6 +137,20 @@ def main() -> int:
     t_solve = float(np.median(solve_times))
     classical_mpix = hr_mpix / t_solve
 
+    # Tunnel-jitter vs device-time breakdown: chain k solves through a data
+    # dependency with ONE host fetch at the end.  Async dispatch pipelines
+    # the per-call RTT behind device work, so (total - fetch)/k isolates
+    # per-solve DEVICE time; the single-fetch spread above minus this is
+    # tunnel jitter.
+    k_chain = 2 if args.smoke else 5
+    t0 = time.perf_counter()
+    o = out
+    for _ in range(k_chain):
+        o = solve(lrs + o["mse_history"][-1] * 1e-12, psf, shifts,
+                  n_iter=n_iter)
+    float(np.asarray(o["mse_history"][-1]))  # one fetch for the whole chain
+    t_chained = (time.perf_counter() - t0) / k_chain
+
     # batched (vmapped) multi-rep solve: the pipeline's dp-utilization mode
     from enph459_super_resolution_tpu.sr.classical import solve_batch
 
@@ -236,6 +250,7 @@ def main() -> int:
         "solve_s": round(t_solve, 3),
         "solve_s_spread": [round(min(solve_times), 3),
                            round(max(solve_times), 3)],
+        "solve_s_pipelined": round(t_chained, 3),
         "classical_batch_mpix_per_s": round(batch_mpix, 3),
         "cpu_baseline_mpix_per_s": cpu_mpix,
         "edsr_x4_infer_mpix_per_s": round(edsr_mpix, 2),
