@@ -150,6 +150,76 @@ class PatchSampler:
         return _degrade_batch(jnp.asarray(crops), sub, cfg.scale, cfg.augment)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("hp", "batch", "scale", "augment"))
+def _device_sample_batch(pool_arr, rng_key, hp: int, batch: int,
+                         scale: int, augment: bool):
+    """(P, H, W, C) device pool -> (lr, hr) batch, fully on device: image
+    pick + crop offsets from the jax PRNG, crops via dynamic_slice, then
+    the shared augment+degrade graph.  No per-step host->device traffic."""
+    p, h, w, _ = pool_arr.shape
+    kimg, kyx, kdeg = jax.random.split(rng_key, 3)
+    idx = jax.random.randint(kimg, (batch,), 0, p)
+    ky, kx = jax.random.split(kyx)
+    ys = jax.random.randint(ky, (batch,), 0, h - hp + 1)
+    xs = jax.random.randint(kx, (batch,), 0, w - hp + 1)
+    crops = jax.vmap(
+        lambda i, y, x: jax.lax.dynamic_slice(
+            pool_arr[i], (y, x, 0), (hp, hp, pool_arr.shape[-1])))(
+        idx, ys, xs)
+    return _degrade_batch(crops, kdeg, scale, augment)
+
+
+class DevicePatchSampler:
+    """Device-resident variant of :class:`PatchSampler` for uniform-size
+    pools (the hermetic synthetic pool; any same-shaped dataset).
+
+    The whole pool uploads ONCE and stays in HBM; each batch is sampled,
+    augmented, and degraded in one jitted graph keyed by a split PRNG.
+    Motivation (measured on the tunneled backend): the host-side sampler
+    uploads ~7 MB per step, which (a) costs ~0.3 s/step of tunnel
+    bandwidth and (b) leaks host staging buffers until the process is
+    OOM-killed (~130 GB RSS at 17.6k steps).  On-device sampling sends
+    only a PRNG key per step.
+    """
+
+    def __init__(self, pool: List[np.ndarray], cfg: PatchConfig,
+                 seed: int = 0):
+        shapes = {img.shape for img in pool}
+        if len(shapes) != 1:
+            raise ValueError(f"pool images differ in shape: {shapes}; "
+                             "use PatchSampler")
+        self.cfg = cfg
+        hp = cfg.lr_patch * cfg.scale
+        h, w = pool[0].shape[:2]
+        if h < hp or w < hp:
+            raise ValueError(f"pool images smaller than HR patch {hp}")
+        # one upload, passed by reference each call (an argument, not a
+        # baked jit constant: big constants blow the remote-compile payload)
+        self.pool_arr = jnp.asarray(np.stack(pool))
+        self.key = jax.random.PRNGKey(seed)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self.key, sub = jax.random.split(self.key)
+        return _device_sample_batch(self.pool_arr, sub,
+                                    self.cfg.lr_patch * self.cfg.scale,
+                                    self.cfg.batch, self.cfg.scale,
+                                    self.cfg.augment)
+
+
+def make_patch_sampler(pool: List[np.ndarray], cfg: PatchConfig,
+                       seed: int = 0):
+    """Device-resident sampler when the pool is uniform-shaped, host
+    sampler otherwise."""
+    try:
+        return DevicePatchSampler(pool, cfg, seed)
+    except ValueError:
+        return PatchSampler(pool, cfg, seed)
+
+
 # ---------------------------------------------------------------------------
 # eval harness (Set5-style protocol)
 # ---------------------------------------------------------------------------

@@ -22,6 +22,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _rss_mb() -> int:
+    """Host resident-set size in MB (observability: long runs on the
+    tunneled backend have been OOM-killed by host-side transfer-buffer
+    growth — ~7.4 MB/step at batch 16, measured; logging it in
+    metrics.jsonl makes the growth visible and restart thresholds
+    tunable)."""
+    try:
+        with open("/proc/self/status") as fp:
+            for line in fp:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) // 1024
+    except OSError:
+        pass
+    return -1
+
+
 def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
           batch: int = 16, lr_patch: int = 48, learning_rate: float = 1e-4,
           loss: str = "l1", out_dir: str = "/tmp/sr_train",
@@ -49,8 +65,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
     from ..models import VGGStyleDiscriminator, create_model
     from ..parallel import (make_mesh, parse_mesh_spec, shard_params_tp,
                             shard_train_step)
-    from .data import (PatchConfig, PatchSampler, evaluate_sr,
-                       image_pool_from_dir, synthetic_scene_pool)
+    from .data import (PatchConfig, evaluate_sr, image_pool_from_dir,
+                       make_patch_sampler, synthetic_scene_pool)
     from .state import (GANTrainState, TrainConfig, TrainState,
                         make_gan_train_step, make_optimizer, make_train_step)
 
@@ -69,9 +85,9 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
                                       size=max(lr_patch * scale + 16, 192)))
     n_eval = max(2, len(pool) // 8)
     eval_pool, train_pool = pool[:n_eval], pool[n_eval:]
-    sampler = PatchSampler(train_pool,
-                           PatchConfig(scale=scale, lr_patch=lr_patch,
-                                       batch=batch), seed=seed)
+    sampler = make_patch_sampler(train_pool,
+                                 PatchConfig(scale=scale, lr_patch=lr_patch,
+                                             batch=batch), seed=seed)
 
     lr0, hr0 = next(sampler)
     if model_name == "srcnn":
@@ -228,7 +244,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
             if it % LOG_EVERY == 0 or first or it == steps:
                 first = False
                 rec = {k: float(v) for k, v in metrics.items()}
-                rec.update(step=it, wall_s=round(time.time() - t0, 1))
+                rec.update(step=it, wall_s=round(time.time() - t0, 1),
+                           rss_mb=_rss_mb())
                 mfp.write(json.dumps(rec) + "\n")
                 mfp.flush()
                 print(f"step {it}/{steps} " +

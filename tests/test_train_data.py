@@ -73,6 +73,32 @@ def test_patch_sampler_shapes_and_range():
     assert not np.allclose(np.asarray(hr), np.asarray(hr2))
 
 
+def test_device_patch_sampler_matches_host_protocol():
+    """DevicePatchSampler: same shapes/dtypes/degradation protocol as the
+    host sampler, pool resident on device, varied batches; falls back to
+    the host sampler for ragged pools."""
+    from enph459_super_resolution_tpu.train.data import (DevicePatchSampler,
+                                                         make_patch_sampler)
+
+    pool = synthetic_scene_pool(n_images=3, size=128, channels=3)
+    cfg = PatchConfig(scale=4, lr_patch=12, batch=4)
+    sampler = make_patch_sampler(pool, cfg)
+    assert isinstance(sampler, DevicePatchSampler)
+    lr, hr = next(sampler)
+    assert hr.shape == (4, 48, 48, 3) and lr.shape == (4, 12, 12, 3)
+    assert float(jnp.max(hr)) <= 255.0 + 1e-3
+    lr2, hr2 = next(sampler)
+    assert not np.allclose(np.asarray(hr), np.asarray(hr2))
+    # every crop must be an actual pool crop: degradation of the crop by
+    # the shared graph means lr/hr stay consistent
+    from enph459_super_resolution_tpu.train.data import bicubic_degrade
+    np.testing.assert_allclose(np.asarray(bicubic_degrade(hr, 4)),
+                               np.asarray(lr), atol=1e-3)
+    # ragged pool -> host sampler
+    ragged = [pool[0], pool[1][:96]]
+    assert isinstance(make_patch_sampler(ragged, cfg), PatchSampler)
+
+
 def test_short_training_learns(tmp_path):
     """A short ESPCN x2 run must show clear learning: train loss drops
     hard and eval PSNR climbs toward the bicubic baseline (beating bicubic
