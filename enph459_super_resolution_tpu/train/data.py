@@ -231,13 +231,26 @@ def evaluate_sr(apply_fn, params, pool: List[np.ndarray], scale: int,
 
     Protocol per the SR literature: LR = Keys-cubic 1/s of the HR (cropped
     to a multiple of s), metrics on the Y channel with an s-pixel border
-    shave.  Returns mean psnr/ssim plus the bicubic baseline.
+    shave.  Returns mean psnr/ssim plus the bicubic baseline, and
+    ``grad_ratio`` — mean |∇SR| / mean |∇HR| on the same prepped crops — a
+    scalar sharpness index: L1-trained SR is oversmoothed (ratio < 1);
+    adversarial training pushes it toward 1.  Used as the measured effect
+    of the GAN term in the ESRGAN ablation (RESULTS.md).
     """
     from ..eval.metrics import psnr, ssim, y_channel
     from ..ops.resize import bicubic_upsample
 
+    def grad_mag(x):
+        gy = x[1:, :-1] - x[:-1, :-1]
+        gx = x[:-1, 1:] - x[:-1, :-1]
+        return jnp.mean(jnp.sqrt(gy * gy + gx * gx + 1e-12))
+
     shave = scale if shave is None else shave
+    # All per-image metrics stay on device (async dispatch); ONE scalar
+    # fetch at the end — a blocking d2h costs ~0.5 s RTT on the tunneled
+    # backend, so per-image float() calls would dominate eval time.
     m_psnr, m_ssim, b_psnr = [], [], []
+    m_grad, b_grad = [], []
     for img in pool:
         h = img.shape[0] - img.shape[0] % scale
         w = img.shape[1] - img.shape[1] % scale
@@ -255,12 +268,21 @@ def evaluate_sr(apply_fn, params, pool: List[np.ndarray], scale: int,
             return x[shave:-shave, shave:-shave]
 
         hr_p = prep(hr)
-        m_psnr.append(float(psnr(prep(sr), hr_p, max_val)))
-        m_ssim.append(float(ssim(prep(sr), hr_p, max_val)))
-        b_psnr.append(float(psnr(prep(bic), hr_p, max_val)))
+        sr_p = prep(sr)
+        bic_p = prep(bic)
+        m_psnr.append(psnr(sr_p, hr_p, max_val))
+        m_ssim.append(ssim(sr_p, hr_p, max_val))
+        b_psnr.append(psnr(bic_p, hr_p, max_val))
+        hr_g = grad_mag(hr_p)
+        m_grad.append(grad_mag(sr_p) / hr_g)
+        b_grad.append(grad_mag(bic_p) / hr_g)
+    vals = np.asarray(jnp.stack([jnp.mean(jnp.stack(xs)) for xs in
+                                 (m_psnr, m_ssim, b_psnr, m_grad, b_grad)]))
     return {
-        "psnr": float(np.mean(m_psnr)),
-        "ssim": float(np.mean(m_ssim)),
-        "bicubic_psnr": float(np.mean(b_psnr)),
+        "psnr": float(vals[0]),
+        "ssim": float(vals[1]),
+        "bicubic_psnr": float(vals[2]),
+        "grad_ratio": float(vals[3]),
+        "bicubic_grad_ratio": float(vals[4]),
         "n_images": len(pool),
     }

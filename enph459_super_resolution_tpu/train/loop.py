@@ -67,7 +67,7 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
                             shard_train_step)
     from .data import (PatchConfig, evaluate_sr, image_pool_from_dir,
                        make_patch_sampler, synthetic_scene_pool)
-    from .state import (GANTrainState, TrainConfig, TrainState,
+    from .state import (GANBalance, GANTrainState, TrainConfig, TrainState,
                         make_gan_train_step, make_optimizer, make_train_step)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -152,11 +152,12 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
               f"step {src.latest_step()}")
 
     if gan:
-        import dataclasses as _dc
         disc = VGGStyleDiscriminator(nf=32)
         d_params = maybe_tp(disc.init(jax.random.PRNGKey(seed + 1), hr0[:1]))
-        d_tx = make_optimizer(
-            _dc.replace(cfg, learning_rate=learning_rate * d_lr_scale))
+        # D's effective lr = learning_rate × balance.d_lr_scale, applied as
+        # a runtime update-scale inside the step (Adam-equivalent) so
+        # retuning it never recompiles.
+        d_tx = make_optimizer(cfg)
         from .losses import PerceptualLoss
         feat_fn = None  # default: weight-free gradient features
         if vgg_weights:
@@ -166,12 +167,15 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         g0 = TrainState.create(params, tx)
         if init_ema is not None:
             g0 = g0.replace(ema_params=init_ema)
+        balance = GANBalance.create(gan_weight=gan_weight,
+                                    d_lr_scale=d_lr_scale, d_every=d_every,
+                                    instance_noise=instance_noise)
         state = GANTrainState(step=jnp.zeros((), jnp.int32), g=g0,
-                              d_params=d_params, d_opt_state=d_tx.init(d_params))
+                              d_params=d_params,
+                              d_opt_state=d_tx.init(d_params),
+                              balance=balance)
         step_fn = make_gan_train_step(apply_fn, disc.apply, tx, d_tx, cfg,
                                       percep_loss=PerceptualLoss(feat_fn),
-                                      gan_weight=gan_weight, d_every=d_every,
-                                      instance_noise=instance_noise,
                                       noise_seed=seed + 2)
     else:
         state = TrainState.create(params, tx)
@@ -184,6 +188,10 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
     if resume and latest is not None:
         state = mngr.restore(latest, args=ocp.args.StandardRestore(state))
         start_step = int(latest)
+        if gan:
+            # balance knobs follow the CLI, not the checkpoint: a resumed
+            # run may be resumed precisely to retune them
+            state = state.replace(balance=balance)
         print(f"resumed from step {start_step}")
 
     if mesh is not None:

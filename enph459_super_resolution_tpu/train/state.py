@@ -107,67 +107,89 @@ def make_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
 # --------------------------------------------------------------------------
 
 @struct.dataclass
+class GANBalance:
+    """Two-player balance knobs, carried as RUNTIME scalars in the state.
+
+    On the tunneled backend a recompile of the RRDB-23 + discriminator
+    step costs tens of minutes, so the knobs must not be baked jit
+    constants: keeping them in the state pytree means the gan_weight=0
+    ablation, the live-GAN run, and any mid-run retuning (e.g. lowering
+    the D step size when d_loss saturates toward 0) all reuse ONE
+    compiled graph — ``state.replace(balance=...)`` between steps.
+    """
+    gan_weight: jnp.ndarray      # λ on the RaGAN G term (0 = ablation)
+    d_lr_scale: jnp.ndarray      # scales D's optimizer *updates*; for Adam
+    # this is exactly a learning-rate scale (update = lr · m̂/(√v̂+ε))
+    d_every: jnp.ndarray         # D updates only when step % d_every == 0
+    instance_noise: jnp.ndarray  # σ (pixel counts, 0..255) on D inputs
+
+    @classmethod
+    def create(cls, gan_weight: float = 5e-3, d_lr_scale: float = 1.0,
+               d_every: int = 1, instance_noise: float = 0.0):
+        return cls(gan_weight=jnp.asarray(gan_weight, jnp.float32),
+                   d_lr_scale=jnp.asarray(d_lr_scale, jnp.float32),
+                   d_every=jnp.asarray(d_every, jnp.int32),
+                   instance_noise=jnp.asarray(instance_noise, jnp.float32))
+
+
+@struct.dataclass
 class GANTrainState:
     step: jnp.ndarray
     g: TrainState
     d_params: Any
     d_opt_state: Any
+    balance: GANBalance
 
 
 def make_gan_train_step(g_apply: Callable, d_apply: Callable,
                         g_tx, d_tx, cfg: TrainConfig,
                         pixel_weight: float = 1e-2,
                         percep_loss: Optional[Callable] = None,
-                        gan_weight: float = 5e-3,
-                        d_every: int = 1,
-                        instance_noise: float = 0.0,
                         noise_seed: int = 0):
     """ESRGAN objective: L_G = percep + λ·RaGAN + η·L1; alternating D step.
 
-    Balance knobs (a saturating discriminator — d_loss → 0 — starves the
-    generator of adversarial gradient):
-      * ``d_every``: update D only every N steps (G gets N steps per D step).
-      * ``instance_noise``: σ of Gaussian noise (in pixel counts, images are
-        0..255) added to BOTH real and fake D inputs — keeps the supports of
-        the two distributions overlapping so D cannot separate them
-        perfectly (Sønderby et al. 2016).
-      * A weaker D optimizer is the caller's job (pass a ``d_tx`` built from
-        a lower learning rate).
-    ``gan_weight=0`` turns the step into the perceptual-only ablation (the
-    D still trains, but contributes no gradient to G).
+    The balance knobs live in ``state.balance`` (:class:`GANBalance`) — a
+    saturating discriminator (d_loss → 0) starves the generator of
+    adversarial gradient, and the knobs that prevent that (weaker/rarer D
+    updates, instance noise on D inputs keeping the real/fake supports
+    overlapping — Sønderby et al. 2016) need retuning without recompiles.
+    ``balance.gan_weight=0`` is the perceptual-only ablation: the D still
+    trains, but contributes no gradient to G.
     """
     from .losses import l1_loss, ragan_discriminator_loss, ragan_generator_loss
 
     base_key = jax.random.PRNGKey(noise_seed)
 
-    def noisy(x, key):
-        if instance_noise <= 0.0:
-            return x
-        return x + instance_noise * jax.random.normal(key, x.shape, x.dtype)
-
-    def g_loss_fn(g_params, d_params, lr, hr, key):
-        sr = g_apply(g_params, lr)
-        kf, kr = jax.random.split(key)
-        fake_logits = d_apply(d_params, noisy(sr, kf))
-        real_logits = d_apply(d_params, noisy(hr, kr))
-        loss = gan_weight * ragan_generator_loss(real_logits, fake_logits)
-        loss = loss + pixel_weight * l1_loss(sr, hr)
-        if percep_loss is not None:
-            loss = loss + percep_loss(sr, hr)
-        return loss, sr
-
-    def d_loss_fn(d_params, sr, hr, key):
-        kf, kr = jax.random.split(key)
-        fake_logits = d_apply(d_params,
-                              noisy(jax.lax.stop_gradient(sr), kf))
-        real_logits = d_apply(d_params, noisy(hr, kr))
-        return ragan_discriminator_loss(real_logits, fake_logits)
-
     def step(state: GANTrainState, lr, hr):
+        bal = state.balance
         key = jax.random.fold_in(base_key, state.step)
         kg, kd = jax.random.split(key)
-        (g_loss, sr), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g.params, state.d_params, lr, hr, kg)
+
+        def noisy(x, key):
+            return x + bal.instance_noise * jax.random.normal(
+                key, x.shape, x.dtype)
+
+        def g_loss_fn(g_params, lr, hr, key):
+            sr = g_apply(g_params, lr)
+            kf, kr = jax.random.split(key)
+            fake_logits = d_apply(state.d_params, noisy(sr, kf))
+            real_logits = d_apply(state.d_params, noisy(hr, kr))
+            g_gan = ragan_generator_loss(real_logits, fake_logits)
+            loss = bal.gan_weight * g_gan
+            loss = loss + pixel_weight * l1_loss(sr, hr)
+            if percep_loss is not None:
+                loss = loss + percep_loss(sr, hr)
+            return loss, (sr, g_gan)
+
+        def d_loss_fn(d_params, sr, hr, key):
+            kf, kr = jax.random.split(key)
+            fake_logits = d_apply(d_params,
+                                  noisy(jax.lax.stop_gradient(sr), kf))
+            real_logits = d_apply(d_params, noisy(hr, kr))
+            return ragan_discriminator_loss(real_logits, fake_logits)
+
+        (g_loss, (sr, g_gan)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g.params, lr, hr, kg)
         g_updates, g_opt = g_tx.update(g_grads, state.g.opt_state,
                                        state.g.params)
         g_params = optax.apply_updates(state.g.params, g_updates)
@@ -176,24 +198,26 @@ def make_gan_train_step(g_apply: Callable, d_apply: Callable,
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
             state.d_params, sr, hr, kd)
 
-        def upd_d(_):
-            d_updates, d_opt = d_tx.update(d_grads, state.d_opt_state,
+        # D update gated + scaled at runtime: scale==0 on skipped steps,
+        # and the optimizer state freezes with the params (same semantics
+        # as the step-skipping lax.cond this replaces, but d_every/
+        # d_lr_scale are now traced values, not compile-time constants).
+        do_d = (state.step % bal.d_every) == 0
+        d_updates, d_opt_new = d_tx.update(d_grads, state.d_opt_state,
                                            state.d_params)
-            return optax.apply_updates(state.d_params, d_updates), d_opt
-
-        if d_every > 1:
-            d_params, d_opt = jax.lax.cond(
-                state.step % d_every == 0, upd_d,
-                lambda _: (state.d_params, state.d_opt_state), None)
-        else:
-            d_params, d_opt = upd_d(None)
+        scale = jnp.where(do_d, bal.d_lr_scale, 0.0)
+        d_params = jax.tree.map(lambda p, u: p + scale * u,
+                                state.d_params, d_updates)
+        d_opt = jax.tree.map(lambda new, old: jnp.where(do_d, new, old),
+                             d_opt_new, state.d_opt_state)
 
         new_state = GANTrainState(
             step=state.step + 1,
             g=TrainState(step=state.g.step + 1, params=g_params,
                          opt_state=g_opt, ema_params=ema),
-            d_params=d_params, d_opt_state=d_opt)
-        metrics = {"g_loss": g_loss, "d_loss": d_loss, "psnr": psnr(sr, hr)}
+            d_params=d_params, d_opt_state=d_opt, balance=bal)
+        metrics = {"g_loss": g_loss, "d_loss": d_loss, "g_gan": g_gan,
+                   "gan_weight": bal.gan_weight, "psnr": psnr(sr, hr)}
         return new_state, metrics
 
     return step

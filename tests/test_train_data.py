@@ -144,8 +144,8 @@ def test_gan_train_step_two_player_learns():
         ESPCN, VGGStyleDiscriminator,
     )
     from enph459_super_resolution_tpu.train import (
-        GANTrainState, TrainConfig, TrainState, make_gan_train_step,
-        make_optimizer,
+        GANBalance, GANTrainState, TrainConfig, TrainState,
+        make_gan_train_step, make_optimizer,
     )
     from enph459_super_resolution_tpu.train.losses import PerceptualLoss
 
@@ -162,7 +162,8 @@ def test_gan_train_step_two_player_learns():
     state = GANTrainState(step=jnp.zeros((), jnp.int32),
                           g=TrainState.create(g_params, g_tx),
                           d_params=d_params,
-                          d_opt_state=d_tx.init(d_params))
+                          d_opt_state=d_tx.init(d_params),
+                          balance=GANBalance.create())
     step = jax.jit(make_gan_train_step(g.apply, d.apply, g_tx, d_tx, cfg,
                                        percep_loss=PerceptualLoss()))
 
@@ -174,6 +175,8 @@ def test_gan_train_step_two_player_learns():
     for m in hist:
         assert np.isfinite(float(m["g_loss"]))
         assert np.isfinite(float(m["d_loss"]))
+        assert np.isfinite(float(m["g_gan"]))  # raw adversarial G term,
+        # logged so a saturating D (g_gan stuck near 0 gradient) is visible
         assert np.isfinite(float(m["psnr"]))
     # both players actually move
     assert float(hist[-1]["d_loss"]) != float(hist[0]["d_loss"])
@@ -200,8 +203,15 @@ def test_gan_loop_checkpoint_roundtrip(tmp_path):
           channels=1, out_dir=out, eval_every=9, ckpt_every=3, dp=False,
           gan=True)
     lines = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
-    assert any("g_loss" in l and "d_loss" in l for l in lines)
+    assert any("g_loss" in l and "d_loss" in l and "g_gan" in l
+               for l in lines)
     assert max(l["step"] for l in lines) == 9
+    final = json.load(open(os.path.join(out, "final_eval.json")))
+    # sharpness index reported alongside PSNR/SSIM (GAN-ablation metric);
+    # an untrained G can exceed 1 (noise has more gradient energy than HR),
+    # but bicubic upsampling is always oversmoothed
+    assert np.isfinite(final["grad_ratio"]) and final["grad_ratio"] > 0.0
+    assert 0.0 < final["bicubic_grad_ratio"] < 1.0
     assert os.path.exists(os.path.join(out, "final_eval.json"))
 
     # the standalone evaluate CLI restores the GANTrainState checkpoint
