@@ -10,9 +10,12 @@ Run on the real chip with nothing else using the tunnel:
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_solves(solve, lrs, psf, shifts, n_iter, reps):
