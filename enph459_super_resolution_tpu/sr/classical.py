@@ -219,13 +219,28 @@ def _fused_ibp_mode() -> str:
 
 
 def _band_store() -> str:
-    """SRTPU_BAND_STORE: 'f32' (default) or 'bf16' — store banded-operator
-    blocks in bfloat16 and run the applies as native-bf16 MXU matmuls with
-    f32 accumulation.  Halves operator HBM traffic (the hypothesis from the
-    round-2 roofline audit: the IBP iteration is traffic-bound); costs the
-    bf16 rounding of operator entries and image operands, so uint8 golden
-    parity loosens from +/-1 to a few counts (measured; see PERF_NOTES)."""
+    """SRTPU_BAND_STORE: 'f32' (default), 'bf16', or 'hybrid[:tail]'.
+
+    'bf16' stores banded-operator blocks in bfloat16 and runs the applies
+    as native-bf16 MXU matmuls with f32 accumulation.  Halves operator HBM
+    traffic (the hypothesis from the round-2 roofline audit: the IBP
+    iteration is traffic-bound); costs the bf16 rounding of operator
+    entries and image operands, so uint8 golden parity loosens from +/-1
+    to a few counts (measured; see PERF_NOTES).
+
+    'hybrid[:tail]' (default tail 8) runs the first ``n_iter - tail`` IBP
+    iterations with the bf16 operators and the final ``tail`` with f32:
+    IBP is a fixed-point iteration, so a short f32 tail contracts the
+    bf16-induced deviation back onto the f32 trajectory — near-bf16 speed
+    at strict uint8 parity (measured; see PERF_NOTES)."""
     return os.environ.get("SRTPU_BAND_STORE", "f32")
+
+
+def _hybrid_tail(band_store: str) -> int:
+    """Tail length of the f32 finishing phase for 'hybrid[:tail]'."""
+    if ":" in band_store:
+        return max(0, int(band_store.split(":", 1)[1]))
+    return 8
 
 
 def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
@@ -412,11 +427,14 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
         mats["fused"] = FusedIBP.build(
             cached["frame_mats"], lr_shape, (h_lr * factor, w_lr * factor),
             reps=reps, interpret=(mode == "interpret"))
-    if band_store == "bf16":
+    if band_store == "bf16" or band_store.startswith("hybrid"):
         # SRTPU_BAND_STORE=bf16: store every banded operator's blocks in
         # bfloat16 (cast post-load — the disk cache stays f32) to halve
         # operator HBM traffic; applies accumulate in f32 on the MXU.
         # Loosens uint8 parity like SRTPU_MM_PRECISION=DEFAULT does.
+        # hybrid keeps BOTH copies: "frames_lo" (bf16) drives the bulk of
+        # the IBP loop, the untouched f32 "frames" finish it (the one-shot
+        # zoom/saa operators stay f32 — they run once, not n_iter times).
         from ..ops.opmatrix import BandedOp as _BOp
 
         def _cast(v):
@@ -425,7 +443,12 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
             if isinstance(v, (list, tuple)):
                 return type(v)(_cast(u) for u in v)
             return v
-        mats = {k: _cast(v) for k, v in mats.items()}
+        if band_store == "bf16":
+            mats = {k: _cast(v) for k, v in mats.items()}
+        elif not fused_on:  # hybrid is a banded-engine schedule; the
+            # fused Pallas engine keeps its own (f32) operator pack
+            mats = dict(mats)
+            mats["frames_lo"] = _cast(mats["frames"])
     return _device_put_dedup(mats)
 
 
@@ -465,30 +488,50 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
             saa = sum(apply_col(c, apply_row(r, up[i]))
                       for i, (r, c) in enumerate(mats["saa"])) / n
 
-            def body(it, carry):
-                hr, errs = carry
-                total_err = jnp.zeros(errs.shape[1:], dtype=hr.dtype)
-                if "fused" in mats:
-                    # whole-iteration Pallas path: 2 kernels, VMEM-resident
-                    # intermediates (ops/pallas_fused_ibp.py)
-                    err = mats["fused"].fwd_err(hr, lr_stack)
+            def body_with(frames):
+                # frames=None selects the fused whole-iteration Pallas
+                # path (2 kernels, VMEM-resident intermediates —
+                # ops/pallas_fused_ibp.py); otherwise the banded-matmul
+                # engine over the given per-frame operator set.
+                def body(it, carry):
+                    hr, errs = carry
+                    total_err = jnp.zeros(errs.shape[1:], dtype=hr.dtype)
+                    if frames is None:
+                        err = mats["fused"].fwd_err(hr, lr_stack)
+                        for i in range(n):
+                            total_err = total_err + rep_mse(err[i])
+                        hr = mats["fused"].bwd_update(hr, err, step / n,
+                                                      clip)
+                        return hr, errs.at[it].set(total_err / n)
+                    correction = jnp.zeros_like(hr)
                     for i in range(n):
-                        total_err = total_err + rep_mse(err[i])
-                    hr = mats["fused"].bwd_update(hr, err, step / n, clip)
+                        sim = forward_model_mm(hr, frames[i])
+                        err = lr_stack[i] - sim
+                        total_err = total_err + rep_mse(err)
+                        correction = correction + back_project_mm(
+                            err, frames[i])
+                    hr = jnp.clip(hr + step * correction / n, clip[0],
+                                  clip[1])
                     return hr, errs.at[it].set(total_err / n)
-                correction = jnp.zeros_like(hr)
-                for i in range(n):
-                    sim = forward_model_mm(hr, mats["frames"][i])
-                    err = lr_stack[i] - sim
-                    total_err = total_err + rep_mse(err)
-                    correction = correction + back_project_mm(
-                        err, mats["frames"][i])
-                hr = jnp.clip(hr + step * correction / n, clip[0], clip[1])
-                return hr, errs.at[it].set(total_err / n)
+                return body
 
             errs0 = jnp.zeros((n_iter,) + ((reps,) if reps > 1 else ()),
                               dtype=saa.dtype)
-            hr, errs = jax.lax.fori_loop(0, n_iter, body, (saa, errs0))
+            if "frames_lo" in mats:
+                # hybrid band store: bulk of the fixed-point iteration on
+                # the bf16 operators, f32 tail contracts the bf16-induced
+                # deviation back onto the f32 trajectory (strict-parity
+                # fast mode; see _band_store / PERF_NOTES).
+                n_lo = n_iter - min(_hybrid_tail(band_store), n_iter)
+                carry = jax.lax.fori_loop(
+                    0, n_lo, body_with(mats["frames_lo"]), (saa, errs0))
+                hr, errs = jax.lax.fori_loop(
+                    n_lo, n_iter, body_with(mats["frames"]), carry)
+            else:
+                hr, errs = jax.lax.fori_loop(
+                    0, n_iter,
+                    body_with(None if "fused" in mats else mats["frames"]),
+                    (saa, errs0))
         else:
             native = native_upsample(lr_mean, factor)
             saa = shift_and_add(lr_stack, shifts_yx, factor)

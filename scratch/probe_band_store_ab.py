@@ -1,10 +1,14 @@
-"""Same-session A/B: f32 vs bf16 banded-operator storage on the full
-reference solve (round-3 VERDICT item 7 — the IBP iteration is jointly
+"""Same-session A/B: banded-operator storage modes on the full reference
+solve (round-3 VERDICT item 7 — the IBP iteration is jointly
 roofline-bound and SRTPU_MM_PRECISION=DEFAULT showed FLOPs aren't the
-constraint, so try halving operator HBM traffic instead).
+constraint, so attack operator HBM traffic instead).
+
+Arms: f32 (strict-parity default), bf16 (traffic-halving, uint8 +/-2),
+and hybrid:<tail> schedules (bf16 bulk + f32 finishing tail — near-bf16
+speed while contracting back onto the f32 trajectory).
 
 Run on the real chip with nothing else using the tunnel:
-  python scratch/probe_band_store_ab.py [--reps 7] [--n-iter 80]
+  python scratch/probe_band_store_ab.py [--reps 5] [--n-iter 80]
 """
 
 import argparse
@@ -19,8 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_solves(solve, lrs, psf, shifts, n_iter, reps):
-    import jax.numpy as jnp
-
     out = solve(lrs, psf, shifts, n_iter=n_iter)
     float(np.asarray(out["mse_history"][-1]))  # warmup + sync
     times = []
@@ -35,8 +37,11 @@ def timed_solves(solve, lrs, psf, shifts, n_iter, reps):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--reps", type=int, default=7)
+    p.add_argument("--reps", type=int, default=5)
     p.add_argument("--n-iter", type=int, default=80)
+    p.add_argument("--stores", default="f32,bf16,hybrid:4,hybrid:8,hybrid:16")
+    p.add_argument("--passes", type=int, default=2,
+                   help="interleaved passes to de-confound tunnel drift")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -56,30 +61,29 @@ def main():
     lrs = jax.device_put(
         rng.uniform(0, 255, (5, 1536, 2048)).astype(np.float32), dev)
 
-    os.environ["SRTPU_BAND_STORE"] = "f32"
-    t_f32, out_f32 = timed_solves(solve, lrs, psf, shifts, args.n_iter,
+    stores = args.stores.split(",")
+    times = {s: [] for s in stores}
+    outs = {}
+    for _ in range(args.passes):  # interleave arms across passes
+        for s in stores:
+            os.environ["SRTPU_BAND_STORE"] = s
+            t, out = timed_solves(solve, lrs, psf, shifts, args.n_iter,
                                   args.reps)
-    os.environ["SRTPU_BAND_STORE"] = "bf16"
-    t_bf16, out_bf16 = timed_solves(solve, lrs, psf, shifts, args.n_iter,
-                                    args.reps)
-    # interleaved second pass to de-confound tunnel drift
-    os.environ["SRTPU_BAND_STORE"] = "f32"
-    t_f32b, _ = timed_solves(solve, lrs, psf, shifts, args.n_iter, args.reps)
-    os.environ["SRTPU_BAND_STORE"] = "bf16"
-    t_bf16b, _ = timed_solves(solve, lrs, psf, shifts, args.n_iter,
-                              args.reps)
+            times[s] += t
+            outs[s] = out
 
-    d = np.abs(to_uint8(out_f32["ibp"]).astype(np.int16) -
-               to_uint8(out_bf16["ibp"]).astype(np.int16))
-    print(json.dumps({
-        "platform": dev.platform,
-        "f32_s": sorted(round(t, 3) for t in t_f32 + t_f32b),
-        "bf16_s": sorted(round(t, 3) for t in t_bf16 + t_bf16b),
-        "f32_median_s": round(float(np.median(t_f32 + t_f32b)), 3),
-        "bf16_median_s": round(float(np.median(t_bf16 + t_bf16b)), 3),
-        "ibp_uint8_maxdiff": int(d.max()),
-        "ibp_uint8_meandiff": round(float(d.mean()), 4),
-    }))
+    u = {s: to_uint8(o["ibp"]).astype(np.int16) for s, o in outs.items()}
+    report = {"platform": dev.platform, "n_iter": args.n_iter}
+    for s in stores:
+        report[s] = {
+            "s_sorted": sorted(round(t, 3) for t in times[s]),
+            "median_s": round(float(np.median(times[s])), 3),
+        }
+        if s != "f32" and "f32" in u:
+            d = np.abs(u[s] - u["f32"])
+            report[s]["uint8_maxdiff_vs_f32"] = int(d.max())
+            report[s]["uint8_meandiff_vs_f32"] = round(float(d.mean()), 4)
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -194,6 +194,37 @@ def test_band_store_bf16_stays_within_loose_parity(monkeypatch):
                                np.asarray(want["mse_history"]), rtol=0.05)
 
 
+def test_band_store_hybrid_tracks_f32_tightly(monkeypatch):
+    """SRTPU_BAND_STORE=hybrid:tail runs the bulk of the IBP fixed-point
+    iteration on bf16-stored operators and finishes with a pure-f32 tail,
+    contracting the bf16-induced deviation back onto the f32 trajectory:
+    uint8 outputs must stay within +/-1 of the f32 engine (vs +/-2..3 for
+    pure bf16), and native/saa (which never touch the bf16 copies) must be
+    bit-identical.  Measured on the real rgb_cal_target session (50-iter
+    IBP): hybrid:16 is within 0.42 float / +/-1 uint8 of f32 and
+    reproduces the f64-oracle deviation statistics to 3 decimals."""
+    from enph459_super_resolution_tpu.sr.classical import to_uint8
+
+    psf = make_gaussian_psf()
+    hr_true = make_scene(64, 80)
+    lrs = np.stack([np_forward(hr_true, psf, s, 2) for s in SHIFTS])
+    dev = jnp.asarray(lrs, jnp.float32)
+
+    want = solve(dev, psf, SHIFTS, n_iter=20)
+    monkeypatch.setenv("SRTPU_BAND_STORE", "hybrid:8")
+    got = solve(dev, psf, SHIFTS, n_iter=20)
+    for k in ("native", "saa"):  # one-shot ops stay on the f32 operators
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]))
+    a = to_uint8(want["ibp"]).astype(np.int16)
+    b = to_uint8(got["ibp"]).astype(np.int16)
+    assert np.abs(a - b).max() <= 1
+    # the f32 tail's MSE entries sit on the f32 trajectory
+    np.testing.assert_allclose(np.asarray(got["mse_history"][-4:]),
+                               np.asarray(want["mse_history"][-4:]),
+                               rtol=0.02)
+
+
 def test_measured_psf_rank_deficient_separable():
     """Non-separable PSFs route through the SVD rank expansion exactly."""
     from enph459_super_resolution_tpu.ops.opmatrix import psf_separable_factors
