@@ -123,19 +123,43 @@ def main() -> int:
     # overlap them.  The tunneled-TPU platform has ~0.5 s blocking-fetch
     # RTT with large run-to-run jitter, so the headline reports the MEDIAN
     # of several timings plus the spread (min/max).
-    out = solve(lrs, psf, shifts, n_iter=n_iter)
-    float(np.asarray(out["mse_history"][-1]))  # warmup + sync
     reps = 2 if args.smoke else 7
-    solve_times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = solve(lrs + out["mse_history"][-1] * 1e-12, psf, shifts,
-                    n_iter=n_iter)
-        checksum = float(np.asarray(out["mse_history"][-1]))
-        solve_times.append(time.perf_counter() - t0)
-    assert np.isfinite(checksum)
+
+    def timed_store(store, n_reps=None):
+        """Median-of-reps single-solve timing under one band-store mode."""
+        os.environ["SRTPU_BAND_STORE"] = store
+        try:
+            out = solve(lrs, psf, shifts, n_iter=n_iter)
+            float(np.asarray(out["mse_history"][-1]))  # warmup + sync
+            times = []
+            for _ in range(n_reps or reps):
+                t0 = time.perf_counter()
+                out = solve(lrs + out["mse_history"][-1] * 1e-12, psf,
+                            shifts, n_iter=n_iter)
+                checksum = float(np.asarray(out["mse_history"][-1]))
+                times.append(time.perf_counter() - t0)
+            assert np.isfinite(checksum)
+        finally:
+            os.environ.pop("SRTPU_BAND_STORE")
+        return times, out
+
+    # HEADLINE: the hybrid band-store schedule (bf16-stored operators for
+    # the bulk of the IBP fixed-point loop + an f32 finishing tail) — the
+    # documented production throughput mode (`sr.run --band-store hybrid`).
+    # Measured +/-1 uint8 of the strict-f32 engine at full size even on
+    # worst-case noise inputs, passes every golden the f32 path passes
+    # (PERF_NOTES round-3 A/B); zoom/SAA outputs are bit-identical (those
+    # operators stay f32).  The strict-f32 contract default and the loose
+    # bf16 mode (+/-2) are reported alongside.
+    solve_times, out = timed_store("hybrid:16")
     t_solve = float(np.median(solve_times))
     classical_mpix = hr_mpix / t_solve
+
+    extra_reps = 2 if args.smoke else 3  # extras need medians, not spreads
+    f32_times, _ = timed_store("f32", extra_reps)
+    classical_f32_mpix = hr_mpix / float(np.median(f32_times))
+    bf16_times, _ = timed_store("bf16", extra_reps)
+    classical_bf16_mpix = hr_mpix / float(np.median(bf16_times))
 
     # Tunnel-jitter vs device-time breakdown: chain k solves through a data
     # dependency with ONE host fetch at the end.  Async dispatch pipelines
@@ -143,31 +167,17 @@ def main() -> int:
     # per-solve DEVICE time; the single-fetch spread above minus this is
     # tunnel jitter.
     k_chain = 2 if args.smoke else 5
-    t0 = time.perf_counter()
-    o = out
-    for _ in range(k_chain):
-        o = solve(lrs + o["mse_history"][-1] * 1e-12, psf, shifts,
-                  n_iter=n_iter)
-    float(np.asarray(o["mse_history"][-1]))  # one fetch for the whole chain
-    t_chained = (time.perf_counter() - t0) / k_chain
-
-    # bf16 band storage (SRTPU_BAND_STORE=bf16): halves operator HBM
-    # traffic and runs the banded matmuls at the MXU's bf16 rate with f32
-    # accumulation.  Measured 2.15x over f32 at uint8 +/-2 (PERF_NOTES
-    # round-3 A/B); reported as an extra so the headline stays the
-    # strict-parity (+/-1 golden) f32 mode.
-    os.environ["SRTPU_BAND_STORE"] = "bf16"
-    out16 = solve(lrs, psf, shifts, n_iter=n_iter)
-    float(np.asarray(out16["mse_history"][-1]))  # warmup + sync
-    bf16_times = []
-    for _ in range(reps):
+    os.environ["SRTPU_BAND_STORE"] = "hybrid:16"
+    try:
         t0 = time.perf_counter()
-        out16 = solve(lrs + out16["mse_history"][-1] * 1e-12, psf, shifts,
+        o = out
+        for _ in range(k_chain):
+            o = solve(lrs + o["mse_history"][-1] * 1e-12, psf, shifts,
                       n_iter=n_iter)
-        float(np.asarray(out16["mse_history"][-1]))
-        bf16_times.append(time.perf_counter() - t0)
-    os.environ.pop("SRTPU_BAND_STORE")
-    classical_bf16_mpix = hr_mpix / float(np.median(bf16_times))
+        float(np.asarray(o["mse_history"][-1]))  # one fetch for the chain
+        t_chained = (time.perf_counter() - t0) / k_chain
+    finally:
+        os.environ.pop("SRTPU_BAND_STORE")
 
     # batched (vmapped) multi-rep solve: the pipeline's dp-utilization mode
     from enph459_super_resolution_tpu.sr.classical import solve_batch
@@ -175,15 +185,19 @@ def main() -> int:
     nb = 2 if args.smoke else 4
     stacks = jax.device_put(
         rng.uniform(0, 255, (nb, 5, h, w)).astype(np.float32), dev)
-    outb = solve_batch(stacks, psf, shifts, n_iter=n_iter)
-    float(np.asarray(outb["mse_history"][-1, -1]))
-    batch_times = []
-    for _ in range(3 if not args.smoke else 1):
-        t0 = time.perf_counter()
-        outb = solve_batch(stacks + outb["mse_history"][-1, -1] * 1e-12,
-                           psf, shifts, n_iter=n_iter)
+    os.environ["SRTPU_BAND_STORE"] = "hybrid:16"  # same mode as headline
+    try:
+        outb = solve_batch(stacks, psf, shifts, n_iter=n_iter)
         float(np.asarray(outb["mse_history"][-1, -1]))
-        batch_times.append(time.perf_counter() - t0)
+        batch_times = []
+        for _ in range(3 if not args.smoke else 1):
+            t0 = time.perf_counter()
+            outb = solve_batch(stacks + outb["mse_history"][-1, -1] * 1e-12,
+                               psf, shifts, n_iter=n_iter)
+            float(np.asarray(outb["mse_history"][-1, -1]))
+            batch_times.append(time.perf_counter() - t0)
+    finally:
+        os.environ.pop("SRTPU_BAND_STORE")
     t_batch = float(np.median(batch_times))
     batch_mpix = nb * hr_mpix / t_batch
 
@@ -265,10 +279,12 @@ def main() -> int:
         "unit": "HR Mpix/s",
         "vs_baseline": None if vs != vs else round(vs, 1),
         "platform": platform,
+        "band_store": "hybrid:16",
         "solve_s": round(t_solve, 3),
         "solve_s_spread": [round(min(solve_times), 3),
                            round(max(solve_times), 3)],
         "solve_s_pipelined": round(t_chained, 3),
+        "classical_f32_strict_mpix_per_s": round(classical_f32_mpix, 3),
         "classical_batch_mpix_per_s": round(batch_mpix, 3),
         "classical_bf16_mpix_per_s": round(classical_bf16_mpix, 3),
         "cpu_baseline_mpix_per_s": cpu_mpix,

@@ -228,11 +228,13 @@ def _band_store() -> str:
     entries and image operands, so uint8 golden parity loosens from +/-1
     to a few counts (measured; see PERF_NOTES).
 
-    'hybrid[:tail]' (default tail 8) runs the first ``n_iter - tail`` IBP
+    'hybrid[:tail]' (default tail 16) runs the first ``n_iter - tail`` IBP
     iterations with the bf16 operators and the final ``tail`` with f32:
     IBP is a fixed-point iteration, so a short f32 tail contracts the
     bf16-induced deviation back onto the f32 trajectory — near-bf16 speed
-    at strict uint8 parity (measured; see PERF_NOTES)."""
+    at +/-1-uint8-of-f32 parity.  Tail 16 is the measured strict setting
+    (full-size worst-case-noise chip A/B: maxdiff 1 at tail 16, 2 at tail
+    <= 8; see PERF_NOTES round-3)."""
     return os.environ.get("SRTPU_BAND_STORE", "f32")
 
 
@@ -240,7 +242,7 @@ def _hybrid_tail(band_store: str) -> int:
     """Tail length of the f32 finishing phase for 'hybrid[:tail]'."""
     if ":" in band_store:
         return max(0, int(band_store.split(":", 1)[1]))
-    return 8
+    return 16
 
 
 def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,

@@ -88,7 +88,18 @@ def main(argv=None) -> int:
                         "poll)")
     p.add_argument("--watch-polls", type=int, default=None,
                    help="stop after this many watch polls (default: forever)")
+    p.add_argument("--band-store", default=None,
+                   metavar="{f32,bf16,hybrid[:tail]}",
+                   help="banded-operator storage (mm engine): f32 = strict "
+                        "bit-discipline default; hybrid = bf16-stored "
+                        "operators for the bulk of the IBP loop + an f32 "
+                        "finishing tail (default 16) — ~1.6x faster at "
+                        "+/-1-uint8-of-f32 parity (the production "
+                        "throughput mode); bf16 = fastest, parity loosens "
+                        "to +/-2 (see PERF_NOTES)")
     args = p.parse_args(argv)
+    if args.band_store:
+        os.environ["SRTPU_BAND_STORE"] = args.band_store
 
     cfg = WORKLOADS[args.workload]
     if args.psf == "measured":
