@@ -134,6 +134,37 @@ def test_cross_session_batching_flushes_on_shape_change(tiny_session,
     assert wide["hr_shape"] == [96, 192]
 
 
+def test_sr_run_band_store_flag(tiny_session, tmp_path, monkeypatch):
+    """`sr.run --band-store hybrid` (the production throughput mode) stays
+    within the documented +/-1 uint8 of the strict-f32 default on the CLI
+    surface, and the flag round-trips through the env contract."""
+    from PIL import Image
+
+    from enph459_super_resolution_tpu.sr.run import main
+
+    monkeypatch.setenv("SRTPU_BAND_STORE", "f32")  # restores at teardown
+    data_dir = os.path.dirname(tiny_session)
+    out_f32 = str(tmp_path / "bs_f32")
+    out_hyb = str(tmp_path / "bs_hybrid")
+    base = ["--workload", "mono_barcodes", "--data-dir", data_dir,
+            "--no-figures"]
+    assert main(base + ["--output-dir", out_f32]) == 0
+    assert main(base + ["--output-dir", out_hyb,
+                        "--band-store", "hybrid"]) == 0
+    assert os.environ["SRTPU_BAND_STORE"] == "hybrid"
+
+    rep = os.path.join("tiny_mono_session", "rep0")
+    for f in ["native_2x.png", "SAA.png", "SAA_IBP.png"]:
+        a = np.asarray(Image.open(os.path.join(out_f32, rep, f)), np.int16)
+        b = np.asarray(Image.open(os.path.join(out_hyb, rep, f)), np.int16)
+        assert np.max(np.abs(a - b)) <= 1, f
+    # the one-shot zoom/SAA operators stay f32 -> bit-identical
+    for f in ["native_2x.png", "SAA.png", "LR_mean.png"]:
+        a = np.asarray(Image.open(os.path.join(out_f32, rep, f)))
+        b = np.asarray(Image.open(os.path.join(out_hyb, rep, f)))
+        assert np.array_equal(a, b), f
+
+
 def test_watch_serve_mode(tiny_session, tmp_path, monkeypatch):
     """`sr.run --watch` keeps serving: processes existing sessions, defers a
     session that fails to load (mid-write by collection), picks it up on a
