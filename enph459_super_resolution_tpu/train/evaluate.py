@@ -7,7 +7,14 @@ pool when no directory is given).
 
   python -m enph459_super_resolution_tpu.train.evaluate \
       --model espcn --scale 2 --channels 1 --run /tmp/sr_train \
-      [--data-dir Set5] [--ema/--raw]
+      [--data-dir Set5] [--ema/--raw] \
+      [--interp-run /tmp/sr_gan --alpha 0.8]
+
+``--interp-run`` evaluates the ESRGAN *network interpolation* (Wang et
+al. 2018 §3.4, the recipe behind BASELINE config #4): blend the
+PSNR-oriented pretrain (``--run``) with the adversarial fine-tune
+(``--interp-run``) in parameter space, θ = (1−α)·θ_PSNR + α·θ_GAN, to
+trade distortion against perceptual quality without retraining.
 """
 
 from __future__ import annotations
@@ -16,6 +23,34 @@ import argparse
 import json
 import os
 import sys
+
+
+def load_run_weights(run_dir, raw=False):
+    """Restore (weights, step) from a train.loop run dir — plain
+    TrainState or GAN fine-tune (generator under 'g'), EMA by default."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(os.path.join(run_dir, "ckpt"))
+    mngr = ocp.CheckpointManager(ckpt_dir)
+    step = mngr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    tree = mngr.restore(step)
+    if "g" in tree:
+        tree = tree["g"]
+    weights = tree["params"] if raw else tree["ema_params"]
+    return jax.tree.map(np.asarray, weights), int(step)
+
+
+def interpolate_weights(psnr_weights, gan_weights, alpha):
+    """ESRGAN network interpolation: (1−α)·θ_PSNR + α·θ_GAN, leafwise."""
+    import jax
+
+    a = float(alpha)
+    return jax.tree.map(lambda p, g: (1.0 - a) * p + a * g,
+                        psnr_weights, gan_weights)
 
 
 def main(argv=None) -> int:
@@ -35,6 +70,12 @@ def main(argv=None) -> int:
     p.add_argument("--model-kwargs", default=None,
                    help="JSON dict of extra model constructor kwargs — must "
                         "match the training run (e.g. '{\"nb\": 8}')")
+    p.add_argument("--interp-run", default=None,
+                   help="GAN fine-tune run dir: evaluate the ESRGAN network "
+                        "interpolation (1−α)·run + α·interp-run")
+    p.add_argument("--alpha", type=float, default=0.8,
+                   help="interpolation weight on --interp-run (ESRGAN paper "
+                        "default 0.8)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -44,7 +85,6 @@ def main(argv=None) -> int:
 
     import jax
     import numpy as np
-    import orbax.checkpoint as ocp
 
     from ..models import create_model
     from .data import evaluate_sr, image_pool_from_dir, synthetic_scene_pool
@@ -76,18 +116,14 @@ def main(argv=None) -> int:
     # materialize every parameter on the device just to throw it away)
     jax.eval_shape(model.init, jax.random.PRNGKey(0), init_in)
 
-    ckpt_dir = os.path.abspath(os.path.join(args.run, "ckpt"))
-    mngr = ocp.CheckpointManager(ckpt_dir)
-    step = mngr.latest_step()
-    if step is None:
-        print(f"no checkpoints under {ckpt_dir}", file=sys.stderr)
+    try:
+        weights, step = load_run_weights(args.run, raw=args.raw)
+        if args.interp_run:
+            gan_weights, _ = load_run_weights(args.interp_run, raw=args.raw)
+            weights = interpolate_weights(weights, gan_weights, args.alpha)
+    except FileNotFoundError as e:
+        print(e, file=sys.stderr)
         return 1
-    # template-free restore handles both plain TrainState runs and GAN
-    # fine-tune runs (GANTrainState: generator under 'g')
-    raw = mngr.restore(step)
-    tree = raw["g"] if "g" in raw else raw
-    weights = tree["params"] if args.raw else tree["ema_params"]
-    weights = jax.tree.map(np.asarray, weights)
 
     if args.tiled:
         from ..models.infer import tiled_infer
@@ -109,6 +145,8 @@ def main(argv=None) -> int:
     metrics = evaluate_sr(run, weights, pool, args.scale)
     metrics.update(step=int(step), model=args.model, scale=args.scale,
                    weights="raw" if args.raw else "ema")
+    if args.interp_run:
+        metrics.update(alpha=args.alpha, interp_run=args.interp_run)
     print(json.dumps(metrics))
     return 0
 

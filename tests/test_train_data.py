@@ -401,3 +401,40 @@ def test_vgg19_torch_state_dict_parity():
         xt, sd["features.0.weight"], sd["features.0.bias"], padding=1)
     ref = ref.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_network_interpolation(tmp_path, capsys):
+    """ESRGAN network interpolation (Wang et al. 2018 §3.4): blending the
+    PSNR pretrain with the GAN fine-tune in parameter space is exact at the
+    endpoints and leafwise-convex in between; the evaluate CLI exposes it
+    via --interp-run/--alpha."""
+    from enph459_super_resolution_tpu.train.evaluate import (
+        interpolate_weights, load_run_weights, main as eval_main)
+    from enph459_super_resolution_tpu.train.loop import train
+
+    pre = str(tmp_path / "pre")
+    gan = str(tmp_path / "gan")
+    train(model_name="espcn", scale=2, steps=6, batch=2, lr_patch=12,
+          channels=1, out_dir=pre, eval_every=6, ckpt_every=6, dp=False)
+    train(model_name="espcn", scale=2, steps=6, batch=2, lr_patch=12,
+          channels=1, out_dir=gan, eval_every=6, ckpt_every=6, dp=False,
+          gan=True, init_from=pre)
+
+    w_pre, _ = load_run_weights(pre)
+    w_gan, _ = load_run_weights(gan)
+    for a, want in ((0.0, w_pre), (1.0, w_gan)):
+        got = interpolate_weights(w_pre, w_gan, a)
+        for x, y in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    mid = interpolate_weights(w_pre, w_gan, 0.25)
+    for x, p, g in zip(jax.tree.leaves(mid), jax.tree.leaves(w_pre),
+                       jax.tree.leaves(w_gan)):
+        np.testing.assert_allclose(np.asarray(x),
+                                   0.75 * np.asarray(p) + 0.25 * np.asarray(g),
+                                   rtol=1e-6, atol=1e-7)
+
+    assert eval_main(["--model", "espcn", "--scale", "2", "--channels", "1",
+                      "--run", pre, "--interp-run", gan,
+                      "--alpha", "0.5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["alpha"] == 0.5 and np.isfinite(out["psnr"])
