@@ -76,6 +76,10 @@ def main(argv=None) -> int:
     p.add_argument("--alpha", type=float, default=0.8,
                    help="interpolation weight on --interp-run (ESRGAN paper "
                         "default 0.8)")
+    p.add_argument("--pool", default="synthetic",
+                   choices=["synthetic", "natural"],
+                   help="procedural eval pool when no --data-dir is given "
+                        "(match the training run's --pool)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -87,7 +91,8 @@ def main(argv=None) -> int:
     import numpy as np
 
     from ..models import create_model
-    from .data import evaluate_sr, image_pool_from_dir, synthetic_scene_pool
+    from .data import (evaluate_sr, image_pool_from_dir, natural_scene_pool,
+                       synthetic_scene_pool)
 
     kwargs = {"channels": args.channels}
     if args.model != "srcnn":
@@ -96,9 +101,11 @@ def main(argv=None) -> int:
         kwargs.update(json.loads(args.model_kwargs))
     model = create_model(args.model, **kwargs)
 
+    make_pool = (natural_scene_pool if args.pool == "natural"
+                 else synthetic_scene_pool)
     pool = (image_pool_from_dir(args.data_dir, channels=args.channels)
             if args.data_dir else
-            synthetic_scene_pool(n_images=8, channels=args.channels))
+            make_pool(n_images=8, channels=args.channels))
 
     # template state for orbax restore
     lr0 = np.zeros((1, 16, 16, args.channels), np.float32)

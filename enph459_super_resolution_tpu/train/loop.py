@@ -45,7 +45,7 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
           ckpt_every: int = 500, channels: int = 3, dp: bool = True,
           gan: bool = False, seed: int = 0, resume: bool = True,
           model_kwargs: Optional[dict] = None,
-          pool_images: int = 32,
+          pool_images: int = 32, pool_kind: str = "synthetic",
           vgg_weights: Optional[str] = None,
           init_from: Optional[str] = None,
           steps_per_dispatch: int = 1,
@@ -66,7 +66,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
     from ..parallel import (make_mesh, parse_mesh_spec, shard_params_tp,
                             shard_train_step)
     from .data import (PatchConfig, evaluate_sr, image_pool_from_dir,
-                       make_patch_sampler, synthetic_scene_pool)
+                       make_patch_sampler, natural_scene_pool,
+                       synthetic_scene_pool)
     from .state import (GANBalance, GANTrainState, TrainConfig, TrainState,
                         make_gan_train_step, make_optimizer, make_train_step)
 
@@ -79,10 +80,12 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         model = create_model(model_name, scale=scale, channels=channels,
                              **kwargs)
 
+    make_pool = (natural_scene_pool if pool_kind == "natural"
+                 else synthetic_scene_pool)
     pool = (image_pool_from_dir(data_dir, channels=channels) if data_dir
-            else synthetic_scene_pool(n_images=pool_images,
-                                      channels=channels, seed=seed,
-                                      size=max(lr_patch * scale + 16, 192)))
+            else make_pool(n_images=pool_images,
+                           channels=channels, seed=seed,
+                           size=max(lr_patch * scale + 16, 192)))
     n_eval = max(2, len(pool) // 8)
     eval_pool, train_pool = pool[:n_eval], pool[n_eval:]
     sampler = make_patch_sampler(train_pool,
@@ -315,6 +318,13 @@ def main(argv=None) -> int:
     p.add_argument("--pool-images", type=int, default=32,
                    help="synthetic-pool size when no --data-dir is given "
                         "(small pools overfit past ~20k steps)")
+    p.add_argument("--pool", default="synthetic",
+                   choices=["synthetic", "natural"],
+                   help="procedural pool when no --data-dir is given: "
+                        "'synthetic' (learnable edges/boxes/bars) or "
+                        "'natural' (1/f spectra + stochastic fine texture "
+                        "above the LR Nyquist — exposes the perception-"
+                        "distortion tradeoff; see natural_scene_pool)")
     p.add_argument("--model-kwargs", default=None,
                    help='JSON dict of extra model constructor kwargs, e.g. '
                         '\'{"nb": 8}\' for a smaller RRDBNet or '
@@ -348,6 +358,7 @@ def main(argv=None) -> int:
                   out_dir=args.out, data_dir=args.data_dir,
                   channels=args.channels, gan=args.gan,
                   resume=not args.no_resume, pool_images=args.pool_images,
+                  pool_kind=args.pool,
                   vgg_weights=args.vgg_weights, init_from=args.init_from,
                   model_kwargs=(json.loads(args.model_kwargs)
                                 if args.model_kwargs else None),

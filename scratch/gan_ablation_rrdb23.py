@@ -50,6 +50,12 @@ def main() -> int:
     p.add_argument("--platform", default=None)
     # smoke-test sizing (CPU): --nb 1 --lr-patch 12 --batch 2 --pool-images 16
     p.add_argument("--nb", type=int, default=23)
+    p.add_argument("--model", default="rrdbnet", choices=["rrdbnet", "edsr"])
+    p.add_argument("--pool", default="synthetic",
+                   choices=["synthetic", "natural"],
+                   help="match the pretrain run's --pool (the 'natural' "
+                        "pool has stochastic above-Nyquist texture: the "
+                        "perception-distortion regime)")
     p.add_argument("--lr-patch", type=int, default=48)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--pool-images", type=int, default=128)
@@ -62,6 +68,7 @@ def main() -> int:
     from enph459_super_resolution_tpu.train.data import (PatchConfig,
                                                          evaluate_sr,
                                                          make_patch_sampler,
+                                                         natural_scene_pool,
                                                          synthetic_scene_pool)
     from enph459_super_resolution_tpu.train.losses import PerceptualLoss
     from enph459_super_resolution_tpu.train.state import (GANBalance,
@@ -76,9 +83,11 @@ def main() -> int:
     lr_patch, batch, pool_images = args.lr_patch, args.batch, args.pool_images
 
     # identical pool/split to the pretrain run (train/loop.py)
-    pool = synthetic_scene_pool(n_images=pool_images, channels=channels,
-                                seed=args.seed,
-                                size=max(lr_patch * scale + 16, 192))
+    make_pool = (natural_scene_pool if args.pool == "natural"
+                 else synthetic_scene_pool)
+    pool = make_pool(n_images=pool_images, channels=channels,
+                     seed=args.seed,
+                     size=max(lr_patch * scale + 16, 192))
     n_eval = max(2, len(pool) // 8)
     eval_pool, train_pool = pool[:n_eval], pool[n_eval:]
     sampler = make_patch_sampler(
@@ -86,8 +95,8 @@ def main() -> int:
         seed=args.seed)
     lr0, hr0 = next(sampler)
 
-    model = create_model("rrdbnet", scale=scale, channels=channels,
-                         nb=args.nb)
+    mk = {"nb": args.nb} if args.model == "rrdbnet" else {}
+    model = create_model(args.model, scale=scale, channels=channels, **mk)
     params0 = model.init(jax.random.PRNGKey(args.seed), lr0[:1])
 
     cfg = TrainConfig(learning_rate=args.lr,

@@ -134,6 +134,50 @@ def test_training_resume_from_checkpoint(tmp_path):
     assert any(s <= 40 for s in steps)
 
 
+def test_natural_scene_pool_statistics():
+    """The 'natural' pool (perception-distortion demo): valid images whose
+    gradient energy is dominated by stochastic texture above the x4 LR
+    Nyquist — the part a Keys-cubic x4 round trip cannot carry — unlike
+    the default learnable pool where trained models reach grad_ratio ~0.97
+    (RESULTS.md)."""
+    from enph459_super_resolution_tpu.train.data import natural_scene_pool
+
+    pool = natural_scene_pool(n_images=3, size=160, channels=3, seed=5)
+    assert len(pool) == 3
+    for img in pool:
+        assert img.shape == (160, 160, 3) and img.dtype == np.float32
+        assert img.min() >= 0.0 and img.max() <= 255.0
+    assert not np.allclose(pool[0], pool[1])
+    # deterministic in the seed (pool split reproducibility across processes)
+    again = natural_scene_pool(n_images=3, size=160, channels=3, seed=5)
+    np.testing.assert_array_equal(pool[0], again[0])
+
+    def grad_energy(x):
+        gy = np.diff(x, axis=0)[:, :-1]
+        gx = np.diff(x, axis=1)[:-1, :]
+        return float(np.mean(np.hypot(gy, gx)))
+
+    for img in pool:
+        hr = jnp.asarray(img)
+        bic = bicubic_upsample(bicubic_degrade(hr[None], 4), 4)[0]
+        ratio = grad_energy(np.asarray(bic)[..., 0]) / grad_energy(img[..., 0])
+        assert ratio < 0.45, f"pool too learnable: bicubic grad ratio {ratio}"
+
+
+def test_train_loop_pool_kind_natural(tmp_path):
+    """--pool natural plumbs through to the training pool."""
+    from enph459_super_resolution_tpu.train.loop import train
+
+    final = train(model_name="espcn", scale=2, steps=6, batch=2,
+                  lr_patch=12, channels=1, out_dir=str(tmp_path / "nat"),
+                  eval_every=6, ckpt_every=6, dp=False,
+                  pool_images=8, pool_kind="natural")
+    assert np.isfinite(final["psnr"])
+    # the natural pool's eval scenes carry unrecoverable texture: bicubic
+    # grad_ratio is well below 1 on them
+    assert final["bicubic_grad_ratio"] < 0.6
+
+
 def test_gan_train_step_two_player_learns():
     """ESRGAN fine-tune machinery (BASELINE config #4): the RaGAN two-player
     step must produce finite, moving G/D losses and update both players."""
