@@ -162,7 +162,29 @@ def main() -> int:
         ev = evaluate_sr(model.apply, state.g.ema_params, eval_pool, scale)
         ev.update(tag=tag, steps=n_steps, wall_s=round(wall, 1), **knob_rec)
         print(json.dumps(ev), flush=True)
+        dump_sample(tag, state.g.ema_params)
         return recs, ev
+
+    def dump_sample(tag: str, ema_params):
+        """Visual evidence: SR of the first held-out scene (plus HR and
+        bicubic once) so the texture-hallucination difference between arms
+        is inspectable, not just a grad_ratio scalar."""
+        from enph459_super_resolution_tpu.data.io import save_png
+        from enph459_super_resolution_tpu.ops.resize import (bicubic_degrade,
+                                                             bicubic_upsample)
+        img = eval_pool[0]
+        h, w = (img.shape[0] // scale) * scale, (img.shape[1] // scale) * scale
+        hr = jnp.asarray(img[:h, :w])
+        lr = bicubic_degrade(hr[None], scale)
+        sr = np.asarray(jnp.clip(model.apply(ema_params, lr)[0], 0, 255))
+        save_png(sr.astype(np.uint8),
+                 os.path.join(args.out, f"sample_{tag}.png"))
+        hr_path = os.path.join(args.out, "sample_hr.png")
+        if not os.path.exists(hr_path):
+            save_png(np.asarray(hr).astype(np.uint8), hr_path)
+            bic = np.asarray(jnp.clip(bicubic_upsample(lr, scale)[0], 0, 255))
+            save_png(bic.astype(np.uint8),
+                     os.path.join(args.out, "sample_bicubic.png"))
 
     results = {}
 
@@ -171,6 +193,7 @@ def main() -> int:
     ev0["tag"] = "pretrain"
     print(json.dumps(ev0), flush=True)
     results["pretrain"] = ev0
+    dump_sample("pretrain", restored.ema_params)
 
     # ---- probe: does the moderate-damping D stay off the floor? --------
     probe_bal = GANBalance.create(gan_weight=5e-3, d_lr_scale=0.1,
