@@ -299,7 +299,7 @@ def evaluate_sr(apply_fn, params, pool: List[np.ndarray], scale: int,
     adversarial training pushes it toward 1.  Used as the measured effect
     of the GAN term in the ESRGAN ablation (RESULTS.md).
     """
-    from ..eval.metrics import psnr, ssim, y_channel
+    from ..eval.metrics import log_spectral_distance, psnr, ssim, y_channel
     from ..ops.resize import bicubic_upsample
 
     def grad_mag(x):
@@ -313,6 +313,7 @@ def evaluate_sr(apply_fn, params, pool: List[np.ndarray], scale: int,
     # backend, so per-image float() calls would dominate eval time.
     m_psnr, m_ssim, b_psnr = [], [], []
     m_grad, b_grad = [], []
+    m_spec, b_spec = [], []
     for img in pool:
         h = img.shape[0] - img.shape[0] % scale
         w = img.shape[1] - img.shape[1] % scale
@@ -338,13 +339,18 @@ def evaluate_sr(apply_fn, params, pool: List[np.ndarray], scale: int,
         hr_g = grad_mag(hr_p)
         m_grad.append(grad_mag(sr_p) / hr_g)
         b_grad.append(grad_mag(bic_p) / hr_g)
-    vals = np.asarray(jnp.stack([jnp.mean(jnp.stack(xs)) for xs in
-                                 (m_psnr, m_ssim, b_psnr, m_grad, b_grad)]))
+        m_spec.append(log_spectral_distance(sr_p, hr_p))
+        b_spec.append(log_spectral_distance(bic_p, hr_p))
+    vals = np.asarray(jnp.stack(
+        [jnp.mean(jnp.stack(xs)) for xs in
+         (m_psnr, m_ssim, b_psnr, m_grad, b_grad, m_spec, b_spec)]))
     return {
         "psnr": float(vals[0]),
         "ssim": float(vals[1]),
         "bicubic_psnr": float(vals[2]),
         "grad_ratio": float(vals[3]),
         "bicubic_grad_ratio": float(vals[4]),
+        "spec_dist": float(vals[5]),
+        "bicubic_spec_dist": float(vals[6]),
         "n_images": len(pool),
     }

@@ -80,6 +80,27 @@ def test_ssim_identity_and_ordering():
     assert float(ssim(noisy1, a)) > float(ssim(noisy2, a))
 
 
+def test_log_spectral_distance_perception_distortion():
+    """The spectral metric must capture what PSNR cannot: an oversmoothed
+    (MMSE-style) image scores BETTER on PSNR but WORSE on spectral distance
+    than an image with wrong pixels and the right texture statistics."""
+    from enph459_super_resolution_tpu.eval.metrics import (
+        log_spectral_distance)
+
+    base = ndi.gaussian_filter(RNG.uniform(0, 255, (96, 96)), 4.0)
+    tex = RNG.standard_normal((96, 96)) * 12.0
+    hr = base + tex
+    assert float(log_spectral_distance(hr, hr)) < 1e-5
+    smooth = base  # the conditional mean: texture suppressed
+    retex = base + RNG.standard_normal((96, 96)) * 12.0  # wrong phase,
+    # right statistics (what a GAN recovers)
+    d_smooth = float(log_spectral_distance(smooth, hr))
+    d_retex = float(log_spectral_distance(retex, hr))
+    assert d_smooth > 3 * d_retex > 0
+    # ...while PSNR orders them the other way around
+    assert float(psnr(smooth, hr)) > float(psnr(retex, hr))
+
+
 def test_local_contrast_matches_notebook_loop():
     prof = RNG.uniform(0, 255, 200)
     window = 16
