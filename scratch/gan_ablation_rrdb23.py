@@ -1,27 +1,38 @@
-"""GAN-on/off ablation at paper scale (RRDB-23), one process, ONE compile.
+"""GAN fine-tune ablation harness: dose-response arms from one pretrain.
 
-VERDICT round-2 item 2: demonstrate the adversarial term is ALIVE at
-training scale — d_loss off the floor, outputs measurably sharper than the
-perceptual-only ablation.  The round-2 fine-tune saturated its
-discriminator (d_loss -> 1e-5) because D trained at full lr against a
-frozen-good generator with disjoint real/fake supports.
+One process, ONE compiled step for every arm (GANBalance knobs are runtime
+scalars in the state, see train/state.py).  Two campaigns ran on this:
 
-Design (all arms share one compiled step — GANBalance knobs are runtime
-scalars in the state, see train/state.py):
-  1. restore the RRDB-23 L1 pretrain checkpoint (--pretrain run dir);
-  2. PROBE: 400 GAN steps with moderate damping; if the D still saturates
-     (median d_loss of the last 100 logged steps < 0.05) escalate to
-     heavier damping, if D is losing (> 1.2) relax;
-  3. ARMS, each 2500 steps from the SAME restored G and the SAME D init,
-     chosen knobs fixed: gan_weight 0 (perceptual-only ablation),
-     5e-3 (ESRGAN paper), 2e-2 (stronger dose) — a dose-response curve on
-     the adversarial weight, everything else identical;
-  4. eval each arm's EMA generator: PSNR / SSIM / grad_ratio (sharpness
-     index: mean |grad SR| / mean |grad HR|, train/data.py).
+- VERDICT round-2 item 2 (RRDB-23, synthetic pool): demonstrate the
+  adversarial term is ALIVE at training scale — d_loss off the floor,
+  dose-dependent D-G equilibrium (RESULTS.md; scratch/logs/gan_ablation_r3).
+- Round-3 perception-distortion demo (EDSR, --pool natural): on scenes
+  with stochastic above-Nyquist texture the L1 pretrain oversmooths
+  (grad_ratio ~0.32), and the GAN term recovers texture *statistics*
+  (spec_dist down, grad_ratio up) while PSNR falls — the classic ESRGAN
+  tradeoff, plus the §3.4 network-interpolation curve (--interp).
+
+Design:
+  1. restore the L1 pretrain checkpoint (--pretrain run dir);
+  2. PROBE (or --knobs to pin): 400 GAN steps with moderate damping;
+     escalate/relax damping based on the probe's d_loss median.  NOTE the
+     escalation rule is for the saturating-D regime; when the real/fake
+     gap IS the feature to learn (natural pool), pin a live D instead —
+     heavy instance noise blinds D to the texture difference;
+  3. ARMS from the SAME restored G and the SAME D init, identical knobs,
+     differing only in gan_weight (--doses).  Weight scale intuition: the
+     reconstruction terms here evaluate ~60 on 0..255 images, so
+     paper-equivalent RELATIVE weighting is gan_weight ~0.3-3, not 5e-3;
+  4. eval each arm's EMA generator: PSNR / SSIM / grad_ratio / spec_dist,
+     per-arm SR sample PNGs, optional pretrain<->arm interpolation sweep.
 
 Usage:
   python scratch/gan_ablation_rrdb23.py --pretrain /tmp/rrdb23_pre \
       --out /tmp/gan_ablation [--steps 2500] [--probe 400]
+  python scratch/gan_ablation_rrdb23.py --model edsr --pool natural \
+      --pretrain /tmp/edsr_nat_pre --out /tmp/gan_nat --steps 5000 \
+      --knobs "d_lr_scale=0.3,d_every=1,instance_noise=2" \
+      --doses 0,3,10 --interp
 """
 
 from __future__ import annotations
@@ -59,6 +70,24 @@ def main() -> int:
     p.add_argument("--lr-patch", type=int, default=48)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--pool-images", type=int, default=128)
+    p.add_argument("--interp", action="store_true",
+                   help="after the arms, network-interpolation sweep "
+                        "(ESRGAN 3.4) pretrain<->best-spec_dist arm: the "
+                        "perception-distortion curve")
+    p.add_argument("--knobs", default=None,
+                   help="skip the probe and pin the balance knobs, e.g. "
+                        "'d_lr_scale=0.3,d_every=1,instance_noise=2'. The "
+                        "probe's escalation rule (heavier damping when D "
+                        "saturates) is wrong when the real/fake gap IS the "
+                        "feature to learn: noise that keeps D honest can "
+                        "also blind it to the texture difference")
+    p.add_argument("--doses", default="0,5e-3,2e-2",
+                   help="comma-separated gan_weight arms. The right scale "
+                        "depends on the magnitude of the reconstruction "
+                        "terms: here percep+L1 evaluate ~60 on 0..255 "
+                        "images, so paper-equivalent RELATIVE weighting "
+                        "(ESRGAN: 5e-3 GAN vs ~1 percep) is gan_weight "
+                        "~0.3, not 5e-3")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -132,6 +161,23 @@ def main() -> int:
                              d_params=d0, d_opt_state=d_tx.init(d0),
                              balance=balance)
 
+    final_emas: dict = {}  # tag -> final EMA params (network interpolation)
+
+    def interp_sweep(tag: str):
+        """ESRGAN §3.4 network interpolation against the pretrain: the
+        perception-distortion CURVE — as α goes 0→1, PSNR falls and
+        spec_dist falls (texture statistics recovered)."""
+        rows = []
+        for alpha in (0.0, 0.2, 0.4, 0.6, 0.8, 1.0):
+            blend = jax.tree.map(
+                lambda a, b: (1.0 - alpha) * a + alpha * b,
+                restored.ema_params, final_emas[tag])
+            ev = evaluate_sr(model.apply, blend, eval_pool, scale)
+            ev["alpha"] = alpha
+            rows.append(ev)
+            print(json.dumps({"interp": tag, **ev}), flush=True)
+        return rows
+
     def run(tag: str, balance: GANBalance, n_steps: int):
         """n_steps GAN steps from the pretrain point; returns (metrics
         history fetched once, final eval)."""
@@ -163,6 +209,7 @@ def main() -> int:
         ev.update(tag=tag, steps=n_steps, wall_s=round(wall, 1), **knob_rec)
         print(json.dumps(ev), flush=True)
         dump_sample(tag, state.g.ema_params)
+        final_emas[tag] = jax.tree.map(np.asarray, state.g.ema_params)
         return recs, ev
 
     def dump_sample(tag: str, ema_params):
@@ -195,6 +242,30 @@ def main() -> int:
     results["pretrain"] = ev0
     dump_sample("pretrain", restored.ema_params)
 
+    if args.knobs:
+        knobs = {}
+        for kv in args.knobs.split(","):
+            k, v = kv.split("=")
+            knobs[k.strip()] = (int(v) if k.strip() == "d_every"
+                                else float(v))
+        print(f"knob choice: {knobs} (pinned via --knobs)", flush=True)
+        results["probe_decision"] = {"pinned": True, **knobs}
+        doses = [float(x) for x in args.doses.split(",")]
+        for w in doses:
+            tag = "gw0" if w == 0 else f"gw{w:g}".replace(".", "p")
+            _, ev = run(tag, GANBalance.create(gan_weight=w, **knobs),
+                        args.steps)
+            results[tag] = ev
+
+        if args.interp:
+            best = min((t for t in results if t.startswith("gw")),
+                       key=lambda t: results[t]["spec_dist"])
+            results["interp"] = {"arm": best, "rows": interp_sweep(best)}
+        with open(os.path.join(args.out, "summary.json"), "w") as fp:
+            json.dump(results, fp, indent=2)
+        print("ABLATION DONE", flush=True)
+        return 0
+
     # ---- probe: does the moderate-damping D stay off the floor? --------
     probe_bal = GANBalance.create(gan_weight=5e-3, d_lr_scale=0.1,
                                   d_every=1, instance_noise=5.0)
@@ -214,11 +285,18 @@ def main() -> int:
     results["probe_decision"] = {"median_d_loss": med, **knobs}
 
     # ---- dose-response arms (same G restore, same D init, same knobs) --
-    for tag, w in (("gw0", 0.0), ("gw5e3", 5e-3), ("gw2e2", 2e-2)):
+    doses = [float(x) for x in args.doses.split(",")]
+    for w in doses:
+        tag = "gw0" if w == 0 else f"gw{w:g}".replace(".", "p")
         _, ev = run(tag, GANBalance.create(gan_weight=w, **knobs),
                     args.steps)
         results[tag] = ev
 
+
+    if args.interp:
+        best = min((t for t in results if t.startswith("gw")),
+                   key=lambda t: results[t]["spec_dist"])
+        results["interp"] = {"arm": best, "rows": interp_sweep(best)}
     with open(os.path.join(args.out, "summary.json"), "w") as fp:
         json.dump(results, fp, indent=2)
     print("ABLATION DONE", flush=True)
