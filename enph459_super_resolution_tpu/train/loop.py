@@ -351,6 +351,13 @@ def main(argv=None) -> int:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax as _jax
         _jax.config.update("jax_platforms", args.platform)
+    # Persist compiled executables across training invocations (same setup
+    # as sr.run; the env var is snapshotted at jax import so go through
+    # jax.config).  No-op on the axon backend, which compiles server-side.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       f"/tmp/jax_cache_srtpu_{os.getuid()}"))
 
     final = train(model_name=args.model, scale=args.scale, steps=args.steps,
                   batch=args.batch, lr_patch=args.lr_patch,
