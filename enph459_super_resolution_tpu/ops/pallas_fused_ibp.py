@@ -8,15 +8,21 @@ iteration at the backend's ~470 GB/s effective bandwidth.  These kernels
 fuse each frame's row+col apply (and the error/update elementwise) so
 intermediates never leave VMEM.
 
-MEASURED OUTCOME (full reference size, same session): exact (uint8 +/-1 vs
-the unfused engine, SAA/native bit-identical) but ~20% SLOWER per solve
-(362 vs 292 ms) — the 128-lane alignment of the per-tile column windows
-inflates the back-projection's HIGHEST-precision FLOPs ~1.6x (true window
-~171 of 256), outweighing the ~2x traffic cut.  Default therefore stays on
-the banded-einsum engine; this module remains available via
-``SRTPU_FUSED_IBP=1`` (or ``interpret``) and regression-tested so the
-trade-off can be revisited on backends with different compute/bandwidth
-ratios.
+MEASURED OUTCOME, f32 (full reference size, same session): exact (uint8
++/-1 vs the unfused engine, SAA/native bit-identical) but ~20% SLOWER per
+solve (362 vs 292 ms) — the 128-lane alignment of the per-tile column
+windows inflates the back-projection's HIGHEST-precision FLOPs ~1.6x (true
+window ~171 of 256), outweighing the ~2x traffic cut.  The f32 default
+therefore stays on the banded-einsum engine.
+
+THE LOW PACK (:meth:`FusedIBP.astype_bands` to bfloat16) changes that
+economics: with bf16 band operands every in-kernel dot is ONE native-rate
+MXU pass (f32 operands at HIGHEST are six), so the alignment FLOP
+inflation becomes ~free and the traffic cut is the whole story — and the
+cut deepens, because a bf16 ``lr_stack`` makes the inter-kernel err stack
+bf16 too.  ``sr.classical`` uses it as the bulk phase of the
+``SRTPU_BAND_STORE=hybrid`` schedule when ``SRTPU_FUSED_IBP=1``
+(measured A/B in PERF_NOTES round-3).
 
   * :meth:`FusedIBP.fwd_err`  — err_f = lr_f - Fc_f(Fr_f(hr)) for ALL
     frames in one ``pallas_call``: each grid step DMAs one hr window,
@@ -58,6 +64,15 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _dot(a, b):
+    """f32 contraction at HIGHEST precision; if either operand is bf16,
+    a native-rate bf16 MXU pass with f32 accumulation (the low band-store
+    path — HIGHEST on f32 operands means 6 bf16 passes, so bf16 operands
+    make the fused kernels' lane-alignment FLOP inflation ~free)."""
+    if jnp.bfloat16 in (a.dtype, b.dtype):
+        return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                                   b.astype(jnp.bfloat16),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                precision=_HIGHEST,
                                preferred_element_type=jnp.float32)
@@ -224,6 +239,8 @@ def _fwd_body(entries, groups):
     computed once and reused by every term sharing that row operator."""
 
     def body(xwin, bandr_ref, bandc_ref, lr_ref, err_ref):
+        if bandr_ref.dtype == jnp.bfloat16:
+            xwin = xwin.astype(jnp.bfloat16)  # one cast, reused per group
         ys = {}
         for u in groups:
             ys[u] = _dot(bandr_ref[0, u], xwin)          # (blk, win_c)
@@ -235,7 +252,11 @@ def _fwd_body(entries, groups):
                     continue
                 t = _dot(ys[u], bandc_ref[0, c])          # (blk, tile)
                 z = t if z is None else z + t
-            err_ref[f] = lr_ref[f] - z
+            # z accumulates in f32 either way; the error tile is stored in
+            # the lr/err dtype (bf16 on the low path — halves the
+            # inter-kernel err traffic)
+            err_ref[f] = (lr_ref[f].astype(jnp.float32) - z).astype(
+                err_ref.dtype)
 
     return body
 
@@ -281,14 +302,16 @@ def _fwd_call(sr, sc, bandr, bandc, lr_stack, hr, entries, groups,
                                lambda j, i, *s: (0, i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, win_r, win_c), jnp.float32),
+            pltpu.VMEM((2, win_r, win_c), hr.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # err tiles take the lr dtype: bf16 lr (the low band-store path) makes
+    # the err stack bf16 end-to-end between the two kernels
     out = pl.pallas_call(
         _window_dma_kernel(_fwd_body(entries, groups)),
         out_shape=jax.ShapeDtypeStruct((n_frames, nb * blk, nt * tile),
-                                       jnp.float32),
+                                       lr_stack.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(sr, sc, hr, bandr, bandc, lr_stack)
@@ -324,7 +347,7 @@ def _bwd_call(sr, sc, bandr, bandc, err_stack, hr, entries, scale: float,
         out_specs=pl.BlockSpec((blk, tile), lambda j, i, *s: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, n_frames, win_r, win_c), jnp.float32),
+            pltpu.VMEM((2, n_frames, win_r, win_c), err_stack.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -431,6 +454,21 @@ class FusedIBP:
                          err_stack, hr, self.b_entries, float(scale),
                          (float(clip[0]), float(clip[1])), h, w,
                          interpret=interpret)
+
+    def astype_bands(self, dtype) -> "FusedIBP":
+        """A copy with the four band arrays cast to ``dtype`` (starts stay
+        int32).  ``astype_bands(jnp.bfloat16)`` is the low band-store pack:
+        every in-kernel dot runs as a native bf16 MXU pass with f32
+        accumulation, and feeding it a bf16 ``lr_stack`` makes the
+        inter-kernel err stack bf16 too (see ``sr.classical``'s
+        ``SRTPU_BAND_STORE`` schedule)."""
+        arrays = tuple(
+            getattr(self, n).astype(dtype)
+            if n.endswith(("bandr", "bandc")) else getattr(self, n)
+            for n in self.ARRAY_FIELDS)
+        meta = (self.f_entries, self.f_groups, self.b_entries, self.n_frames,
+                self.lr_shape, self.hr_shape, self.interpret)
+        return FusedIBP(arrays, meta)
 
     # -- pytree -------------------------------------------------------------
 

@@ -206,16 +206,43 @@ def ibp(lr_stack, shifts_yx, psf, hr_init, factor: int = UPSAMPLE_FACTOR,
 
 
 def _fused_ibp_mode() -> str:
-    """SRTPU_FUSED_IBP: '0' (default), '1' (compiled fused-iteration Pallas
-    kernels), 'interpret' (interpreter mode — CPU-testable).
+    """SRTPU_FUSED_IBP: 'auto' (default), '0' (force banded), '1' (force
+    the fused-iteration Pallas kernels), 'interpret' (interpreter mode —
+    CPU-testable).
 
-    Default OFF by measurement: at the full reference size the fused
-    whole-iteration kernels are exact (uint8 +/-1) but ~20% SLOWER than the
-    banded-einsum engine (362 vs 292 ms/solve same-session) — the 128-lane
-    window alignment inflates the back-projection's HIGHEST-precision
-    FLOPs ~1.6x, outweighing the ~2x HBM-traffic saving.  Kept as an
-    opt-in engine + regression tests; see ops/pallas_fused_ibp.py."""
-    return os.environ.get("SRTPU_FUSED_IBP", "0")
+    'auto' routes each band-store mode to its chip-measured winner
+    (PERF_NOTES round-3 A/B, full reference size, same session):
+
+    * f32 / hybrid -> banded einsum: at f32-HIGHEST the fused kernels'
+      128-lane window alignment inflates back-projection FLOPs ~1.6x,
+      outweighing their ~3x HBM-traffic cut (362 vs 292 ms/solve); and on
+      the hybrid schedule's +/-1 parity frontier fused merely ties banded
+      (tail 32 needed: 0.199 vs 0.198 s).
+    * bf16 -> fused kernels (TPU only): with bf16 band operands every
+      in-kernel dot is one native-rate MXU pass, the FLOP inflation is
+      ~free, and the traffic cut wins outright — 0.119 vs 0.156 s/solve
+      (1.3x), same +/-2 parity class.
+
+    See ops/pallas_fused_ibp.py."""
+    return os.environ.get("SRTPU_FUSED_IBP", "auto")
+
+
+def _fused_engine_on(mode: str, band_store: str, lr_shape, hr_shape,
+                     dtype_name: str) -> bool:
+    """Resolve SRTPU_FUSED_IBP x SRTPU_BAND_STORE to an engine choice
+    (see :func:`_fused_ibp_mode`); always gated on shape eligibility."""
+    from ..ops.pallas_fused_ibp import fused_eligible
+
+    if mode in ("1", "interpret"):
+        return fused_eligible(lr_shape, hr_shape, dtype_name)
+    if mode == "auto" and band_store == "bf16":
+        try:
+            platform = jax.devices()[0].platform
+        except RuntimeError:
+            return False
+        return (platform == "tpu"
+                and fused_eligible(lr_shape, hr_shape, dtype_name))
+    return False
 
 
 def _band_store() -> str:
@@ -226,7 +253,10 @@ def _band_store() -> str:
     traffic (the hypothesis from the round-2 roofline audit: the IBP
     iteration is traffic-bound); costs the bf16 rounding of operator
     entries and image operands, so uint8 golden parity loosens from +/-1
-    to a few counts (measured; see PERF_NOTES).
+    to a few counts (measured; see PERF_NOTES).  On TPU at eligible shapes
+    bf16 auto-routes to the fused whole-iteration Pallas kernels
+    (:func:`_fused_engine_on`) — measured 1.3x faster again at the same
+    parity class (0.119 vs 0.156 s/solve full size).
 
     'hybrid[:tail]' (default tail 16) runs the first ``n_iter - tail`` IBP
     iterations with the bf16 operators and the final ``tail`` with f32:
@@ -390,11 +420,11 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
     import pickle
 
     mode = fused_mode
-    from ..ops.pallas_fused_ibp import FusedIBP, fused_eligible
+    from ..ops.pallas_fused_ibp import FusedIBP
 
     h_lr, w_lr = lr_shape
-    fused_on = mode != "0" and fused_eligible(
-        lr_shape, (h_lr * factor, w_lr * factor), dtype_name)
+    fused_on = _fused_engine_on(mode, band_store, lr_shape,
+                                (h_lr * factor, w_lr * factor), dtype_name)
 
     path = _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps,
                           fused=fused_on)
@@ -426,17 +456,26 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
     # ~20 separate banded applies — ~2x less HBM traffic, bit-compatible
     # contractions (see ops/pallas_fused_ibp.py).
     if fused_on:
-        mats["fused"] = FusedIBP.build(
+        pack = FusedIBP.build(
             cached["frame_mats"], lr_shape, (h_lr * factor, w_lr * factor),
             reps=reps, interpret=(mode == "interpret"))
+        if band_store == "f32":
+            mats["fused"] = pack
+        else:
+            # low band store + fused engine: the bf16 pack drives every
+            # low iteration (all of them for 'bf16'; the bulk for
+            # 'hybrid', whose f32 tail runs the banded "frames" — same
+            # tail semantics as the banded hybrid schedule)
+            mats["fused_lo"] = pack.astype_bands(jnp.bfloat16)
     if band_store == "bf16" or band_store.startswith("hybrid"):
         # SRTPU_BAND_STORE=bf16: store every banded operator's blocks in
         # bfloat16 (cast post-load — the disk cache stays f32) to halve
         # operator HBM traffic; applies accumulate in f32 on the MXU.
         # Loosens uint8 parity like SRTPU_MM_PRECISION=DEFAULT does.
-        # hybrid keeps BOTH copies: "frames_lo" (bf16) drives the bulk of
-        # the IBP loop, the untouched f32 "frames" finish it (the one-shot
-        # zoom/saa operators stay f32 — they run once, not n_iter times).
+        # hybrid keeps BOTH copies: the bf16 set ("frames_lo" banded, or
+        # "fused_lo" above) drives the bulk of the IBP loop, the untouched
+        # f32 "frames" finish it (the one-shot zoom/saa operators stay
+        # f32 — they run once, not n_iter times).
         from ..ops.opmatrix import BandedOp as _BOp
 
         def _cast(v):
@@ -446,9 +485,9 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
                 return type(v)(_cast(u) for u in v)
             return v
         if band_store == "bf16":
-            mats = {k: _cast(v) for k, v in mats.items()}
-        elif not fused_on:  # hybrid is a banded-engine schedule; the
-            # fused Pallas engine keeps its own (f32) operator pack
+            mats = {k: _cast(v) if k != "fused_lo" else v
+                    for k, v in mats.items()}
+        elif not fused_on:
             mats = dict(mats)
             mats["frames_lo"] = _cast(mats["frames"])
     return _device_put_dedup(mats)
@@ -474,6 +513,7 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
                            band_store) if engine == "mm" else None
 
     def rep_mse(err):
+        err = err.astype(jnp.float32)  # bf16 err (fused low path): f32 MSE
         if reps == 1:
             return jnp.mean(err * err)
         per = err.reshape((reps, err.shape[-2] // reps) + err.shape[-1:])
@@ -490,28 +530,37 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
             saa = sum(apply_col(c, apply_row(r, up[i]))
                       for i, (r, c) in enumerate(mats["saa"])) / n
 
-            def body_with(frames):
-                # frames=None selects the fused whole-iteration Pallas
-                # path (2 kernels, VMEM-resident intermediates —
-                # ops/pallas_fused_ibp.py); otherwise the banded-matmul
-                # engine over the given per-frame operator set.
+            # the low fused pack consumes a bf16 lr_stack (which also
+            # makes the inter-kernel err stack bf16); cast ONCE outside
+            # the iteration loop
+            lr_lo = (lr_stack.astype(jnp.bfloat16)
+                     if "fused_lo" in mats else None)
+
+            def body_with(kind, obj):
+                # 'fused': whole-iteration Pallas kernels over the given
+                # pack (2 kernels, VMEM-resident intermediates —
+                # ops/pallas_fused_ibp.py); 'banded': banded-matmul engine
+                # over the given per-frame operator set.
+                low = (kind == "fused"
+                       and obj.f_bandr.dtype == jnp.bfloat16)
+                lr_in = lr_lo if low else lr_stack
+
                 def body(it, carry):
                     hr, errs = carry
                     total_err = jnp.zeros(errs.shape[1:], dtype=hr.dtype)
-                    if frames is None:
-                        err = mats["fused"].fwd_err(hr, lr_stack)
+                    if kind == "fused":
+                        err = obj.fwd_err(hr, lr_in)
                         for i in range(n):
                             total_err = total_err + rep_mse(err[i])
-                        hr = mats["fused"].bwd_update(hr, err, step / n,
-                                                      clip)
+                        hr = obj.bwd_update(hr, err, step / n, clip)
                         return hr, errs.at[it].set(total_err / n)
                     correction = jnp.zeros_like(hr)
                     for i in range(n):
-                        sim = forward_model_mm(hr, frames[i])
+                        sim = forward_model_mm(hr, obj[i])
                         err = lr_stack[i] - sim
                         total_err = total_err + rep_mse(err)
                         correction = correction + back_project_mm(
-                            err, frames[i])
+                            err, obj[i])
                     hr = jnp.clip(hr + step * correction / n, clip[0],
                                   clip[1])
                     return hr, errs.at[it].set(total_err / n)
@@ -519,21 +568,28 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
 
             errs0 = jnp.zeros((n_iter,) + ((reps,) if reps > 1 else ()),
                               dtype=saa.dtype)
-            if "frames_lo" in mats:
+            lo_spec = (("fused", mats["fused_lo"]) if "fused_lo" in mats
+                       else ("banded", mats["frames_lo"])
+                       if "frames_lo" in mats else None)
+            hi_spec = (("fused", mats["fused"]) if "fused" in mats
+                       else ("banded", mats["frames"]))
+            if lo_spec is not None and band_store.startswith("hybrid"):
                 # hybrid band store: bulk of the fixed-point iteration on
-                # the bf16 operators, f32 tail contracts the bf16-induced
-                # deviation back onto the f32 trajectory (strict-parity
-                # fast mode; see _band_store / PERF_NOTES).
+                # the bf16 operators (banded or fused engine), f32 banded
+                # tail contracts the bf16-induced deviation back onto the
+                # f32 trajectory (strict-parity fast mode; see
+                # _band_store / PERF_NOTES).
                 n_lo = n_iter - min(_hybrid_tail(band_store), n_iter)
                 carry = jax.lax.fori_loop(
-                    0, n_lo, body_with(mats["frames_lo"]), (saa, errs0))
+                    0, n_lo, body_with(*lo_spec), (saa, errs0))
                 hr, errs = jax.lax.fori_loop(
-                    n_lo, n_iter, body_with(mats["frames"]), carry)
+                    n_lo, n_iter, body_with(*hi_spec), carry)
+            elif lo_spec is not None:  # 'bf16': every iteration low
+                hr, errs = jax.lax.fori_loop(
+                    0, n_iter, body_with(*lo_spec), (saa, errs0))
             else:
                 hr, errs = jax.lax.fori_loop(
-                    0, n_iter,
-                    body_with(None if "fused" in mats else mats["frames"]),
-                    (saa, errs0))
+                    0, n_iter, body_with(*hi_spec), (saa, errs0))
         else:
             native = native_upsample(lr_mean, factor)
             saa = shift_and_add(lr_stack, shifts_yx, factor)

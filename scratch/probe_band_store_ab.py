@@ -9,6 +9,12 @@ speed while contracting back onto the f32 trajectory).
 
 Run on the real chip with nothing else using the tunnel:
   python scratch/probe_band_store_ab.py [--reps 5] [--n-iter 80]
+
+Arms prefixed ``fused/`` run the whole-iteration Pallas engine
+(SRTPU_FUSED_IBP=1): 20% slower than banded at f32-HIGHEST (FLOP
+inflation), but with bf16 bands every dot is one native MXU pass, so
+``fused/hybrid:16`` / ``fused/bf16`` test whether the kernels' ~3x
+traffic cut finally pays.
 """
 
 import argparse
@@ -66,7 +72,12 @@ def main():
     outs = {}
     for _ in range(args.passes):  # interleave arms across passes
         for s in stores:
-            os.environ["SRTPU_BAND_STORE"] = s
+            if s.startswith("fused/"):
+                os.environ["SRTPU_FUSED_IBP"] = "1"
+                os.environ["SRTPU_BAND_STORE"] = s.split("/", 1)[1]
+            else:
+                os.environ["SRTPU_FUSED_IBP"] = "0"
+                os.environ["SRTPU_BAND_STORE"] = s
             t, out = timed_solves(solve, lrs, psf, shifts, args.n_iter,
                                   args.reps)
             times[s] += t

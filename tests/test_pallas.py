@@ -197,6 +197,73 @@ def test_fused_solve_matches_unfused_solve(monkeypatch):
                                   np.asarray(want["saa"]))
 
 
+def test_fused_low_pack_iteration_close_to_f32():
+    """The bf16 band pack (astype_bands) runs the same iteration within
+    bf16 rounding of the f32 fused kernels, with a bf16 err stack."""
+    shifts = ((0.0, 0.0), (0.5, -0.5), (-0.5, 0.5))
+    h, w, factor = 128, 256, 2
+    _, _, pack = _fused_fixture(shifts, h, w, factor)
+    lo = pack.astype_bands(jnp.bfloat16)
+    assert lo.f_bandr.dtype == jnp.bfloat16
+    assert lo.b_bandc.dtype == jnp.bfloat16
+    assert lo.f_sr.dtype == pack.f_sr.dtype  # starts stay int32
+
+    n = len(shifts)
+    hr = jnp.asarray(RNG.uniform(0, 255, (h * factor, w * factor)),
+                     jnp.float32)
+    lrs = jnp.asarray(RNG.uniform(0, 255, (n, h, w)), jnp.float32)
+
+    err32 = np.asarray(pack.fwd_err(hr, lrs), np.float32)
+    err16 = lo.fwd_err(hr, lrs.astype(jnp.bfloat16))
+    assert err16.dtype == jnp.bfloat16
+    # band entries and images round to 8-bit mantissa: ~1% of the 0..255
+    # signal scale
+    np.testing.assert_allclose(np.asarray(err16, np.float32), err32,
+                               atol=3.0)
+
+    hr32 = np.asarray(pack.bwd_update(hr, jnp.asarray(err32), 0.5 / n,
+                                      (0.0, 255.0)))
+    hr16 = np.asarray(lo.bwd_update(hr, err16, 0.5 / n, (0.0, 255.0)),
+                      np.float32)
+    assert hr16.dtype == np.float32  # the HR state stays f32
+    np.testing.assert_allclose(hr16, hr32, atol=3.0)
+
+
+@pytest.mark.parametrize("store", ["hybrid:3", "bf16"])
+def test_fused_low_solve_close_to_f32_solve(monkeypatch, store):
+    """Full solve through the fused engine with the low band store
+    (SRTPU_FUSED_IBP=interpret + SRTPU_BAND_STORE) stays in the bf16
+    parity class of the strict f32 banded solve; hybrid's f32 banded tail
+    tightens it."""
+    from enph459_super_resolution_tpu.sr import classical
+
+    shifts = ((0.5, -0.5), (0.5, 0.5), (-0.5, -0.5), (-0.5, 0.5))
+    psf = classical.make_gaussian_psf()
+    lrs = jnp.asarray(RNG.uniform(0, 255, (4, 128, 256)), jnp.float32)
+
+    monkeypatch.setenv("SRTPU_FUSED_IBP", "0")
+    monkeypatch.setenv("SRTPU_BAND_STORE", "f32")
+    classical._compiled_solve.cache_clear()
+    want = classical.solve(lrs, psf, shifts, n_iter=6)
+
+    monkeypatch.setenv("SRTPU_FUSED_IBP", "interpret")
+    monkeypatch.setenv("SRTPU_BAND_STORE", store)
+    classical._compiled_solve.cache_clear()
+    got = classical.solve(lrs, psf, shifts, n_iter=6)
+    classical._compiled_solve.cache_clear()
+
+    d = np.abs(np.asarray(got["ibp"], np.float32)
+               - np.asarray(want["ibp"], np.float32))
+    assert d.max() < (1.5 if store.startswith("hybrid") else 3.0)
+    du = np.abs(classical.to_uint8(got["ibp"]).astype(int)
+                - classical.to_uint8(want["ibp"]).astype(int))
+    assert du.max() <= (2 if store.startswith("hybrid") else 3)
+    # the one-shot zoom/SAA operators stay f32 under hybrid
+    if store.startswith("hybrid"):
+        np.testing.assert_array_equal(np.asarray(got["saa"]),
+                                      np.asarray(want["saa"]))
+
+
 def test_fused_ineligible_shapes_fall_back():
     from enph459_super_resolution_tpu.ops.pallas_fused_ibp import (
         fused_eligible,
@@ -207,3 +274,21 @@ def test_fused_ineligible_shapes_fall_back():
     assert not fused_eligible((100, 256), (200, 512), "float32")
     assert not fused_eligible((128, 200), (256, 400), "float32")
     assert not fused_eligible((128, 256), (256, 512), "float64")
+
+
+def test_fused_auto_routing():
+    """SRTPU_FUSED_IBP=auto routes each band-store mode to its measured
+    winner: banded for f32/hybrid, fused for bf16 (TPU only)."""
+    from enph459_super_resolution_tpu.sr.classical import _fused_engine_on
+
+    elig = ((1536, 2048), (3072, 4096), "float32")
+    on_tpu = jax.devices()[0].platform == "tpu"  # cpu in this suite
+    assert not _fused_engine_on("auto", "f32", *elig)
+    assert not _fused_engine_on("auto", "hybrid:16", *elig)
+    assert _fused_engine_on("auto", "bf16", *elig) == on_tpu
+    # explicit force wins regardless of store, gated on eligibility
+    assert _fused_engine_on("1", "f32", *elig)
+    assert _fused_engine_on("interpret", "hybrid:16", *elig)
+    assert not _fused_engine_on("0", "bf16", *elig)
+    assert not _fused_engine_on("1", "f32", (100, 256), (200, 512),
+                                "float32")
