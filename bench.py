@@ -125,9 +125,15 @@ def main() -> int:
     # of several timings plus the spread (min/max).
     reps = 2 if args.smoke else 7
 
-    def timed_store(store, n_reps=None):
-        """Median-of-reps single-solve timing under one band-store mode."""
+    def timed_store(store, n_reps=None, precision=None):
+        """Median-of-reps single-solve timing under one band-store mode
+        (and optionally a matmul precision/algorithm for the f32 applies)."""
+        from enph459_super_resolution_tpu.ops import opmatrix
+
         os.environ["SRTPU_BAND_STORE"] = store
+        prev_prec = opmatrix._MM_PRECISION
+        if precision:
+            opmatrix._MM_PRECISION = opmatrix._resolve_mm_precision(precision)
         try:
             out = solve(lrs, psf, shifts, n_iter=n_iter)
             float(np.asarray(out["mse_history"][-1]))  # warmup + sync
@@ -141,17 +147,21 @@ def main() -> int:
             assert np.isfinite(checksum)
         finally:
             os.environ.pop("SRTPU_BAND_STORE")
+            opmatrix._MM_PRECISION = prev_prec
         return times, out
 
     # HEADLINE: the hybrid band-store schedule (bf16-stored operators for
-    # the bulk of the IBP fixed-point loop + an f32 finishing tail) — the
-    # documented production throughput mode (`sr.run --band-store hybrid`).
-    # Measured +/-1 uint8 of the strict-f32 engine at full size even on
-    # worst-case noise inputs, passes every golden the f32 path passes
-    # (PERF_NOTES round-3 A/B); zoom/SAA outputs are bit-identical (those
-    # operators stay f32).  The strict-f32 contract default and the loose
-    # bf16 mode (+/-2) are reported alongside.
-    solve_times, out = timed_store("hybrid:16")
+    # the bulk of the IBP fixed-point loop + a strict finishing tail) with
+    # the tail's f32 applies on the BF16_BF16_F32_X3 dot algorithm — the
+    # documented production throughput mode (`sr.run --band-store hybrid
+    # --mm-precision BF16_BF16_F32_X3`).  Measured +/-1 uint8 of the
+    # strict-f32 engine at full size even on worst-case noise inputs, with
+    # the same mean deviation as the HIGHEST-tail hybrid (PERF_NOTES
+    # round-3 A/Bs); zoom/SAA outputs run X3 too (+/-1 of f32).  The
+    # strict-f32 contract default and the loose bf16 mode (+/-2, fused
+    # Pallas kernels) are reported alongside.
+    solve_times, out = timed_store("hybrid:16",
+                                   precision="BF16_BF16_F32_X3")
     t_solve = float(np.median(solve_times))
     classical_mpix = hr_mpix / t_solve
 
@@ -166,8 +176,12 @@ def main() -> int:
     # the per-call RTT behind device work, so (total - fetch)/k isolates
     # per-solve DEVICE time; the single-fetch spread above minus this is
     # tunnel jitter.
+    from enph459_super_resolution_tpu.ops import opmatrix as _opm
+
     k_chain = 2 if args.smoke else 5
     os.environ["SRTPU_BAND_STORE"] = "hybrid:16"
+    _prev_prec = _opm._MM_PRECISION
+    _opm._MM_PRECISION = _opm._resolve_mm_precision("BF16_BF16_F32_X3")
     try:
         t0 = time.perf_counter()
         o = out
@@ -178,6 +192,7 @@ def main() -> int:
         t_chained = (time.perf_counter() - t0) / k_chain
     finally:
         os.environ.pop("SRTPU_BAND_STORE")
+        _opm._MM_PRECISION = _prev_prec
 
     # batched (vmapped) multi-rep solve: the pipeline's dp-utilization mode
     from enph459_super_resolution_tpu.sr.classical import solve_batch
@@ -186,6 +201,7 @@ def main() -> int:
     stacks = jax.device_put(
         rng.uniform(0, 255, (nb, 5, h, w)).astype(np.float32), dev)
     os.environ["SRTPU_BAND_STORE"] = "hybrid:16"  # same mode as headline
+    _opm._MM_PRECISION = _opm._resolve_mm_precision("BF16_BF16_F32_X3")
     try:
         outb = solve_batch(stacks, psf, shifts, n_iter=n_iter)
         float(np.asarray(outb["mse_history"][-1, -1]))
@@ -198,6 +214,7 @@ def main() -> int:
             batch_times.append(time.perf_counter() - t0)
     finally:
         os.environ.pop("SRTPU_BAND_STORE")
+        _opm._MM_PRECISION = _prev_prec
     t_batch = float(np.median(batch_times))
     batch_mpix = nb * hr_mpix / t_batch
 
@@ -280,6 +297,7 @@ def main() -> int:
         "vs_baseline": None if vs != vs else round(vs, 1),
         "platform": platform,
         "band_store": "hybrid:16",
+        "mm_precision": "BF16_BF16_F32_X3",
         "solve_s": round(t_solve, 3),
         "solve_s_spread": [round(min(solve_times), 3),
                            round(max(solve_times), 3)],

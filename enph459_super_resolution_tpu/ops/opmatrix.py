@@ -178,8 +178,19 @@ def psf_separable_factors(psf: np.ndarray, rel_tol: float = 1e-6):
 # because strict reference parity is a contract here.  Override via env
 # SRTPU_BAND_BLOCK / SRTPU_MM_PRECISION.
 _BAND_BLOCK = int(os.environ.get("SRTPU_BAND_BLOCK", "128"))
-_MM_PRECISION = getattr(jax.lax.Precision,
-                        os.environ.get("SRTPU_MM_PRECISION", "HIGHEST"))
+
+
+def _resolve_mm_precision(name: str):
+    """Accepts jax.lax.Precision names (HIGHEST/DEFAULT/HIGH) and
+    jax.lax.DotAlgorithmPreset names (e.g. BF16_BF16_F32_X3: split-f32
+    3-pass bf16 emulation, X6 = full f32 emulation)."""
+    if hasattr(jax.lax.Precision, name):
+        return getattr(jax.lax.Precision, name)
+    return getattr(jax.lax.DotAlgorithmPreset, name)
+
+
+_MM_PRECISION = _resolve_mm_precision(
+    os.environ.get("SRTPU_MM_PRECISION", "HIGHEST"))
 # SRTPU_PALLAS_ROWS executes 2-D row-operator applications through the
 # Pallas banded kernel (ops/pallas_kernels.py) instead of XLA block matmuls.
 # Default 'auto' = on for TPU backends (measured equal-or-faster in the IBP
@@ -280,8 +291,12 @@ class BandedOp:
 
     def row_apply(self, x):
         """self @ x along x's row (-2) axis."""
+        # The Pallas banded kernel computes at HIGHEST; when the precision
+        # knob selects a DotAlgorithmPreset (e.g. BF16_BF16_F32_X3), stay
+        # on the XLA einsum path so the algorithm actually applies.
         if self.packed is not None and x.ndim == 2 and \
-                x.shape[-1] % 256 == 0 and not self._is_bf16():
+                x.shape[-1] % 256 == 0 and not self._is_bf16() and \
+                _MM_PRECISION is jax.lax.Precision.HIGHEST:
             from .pallas_kernels import _banded_row_pallas
 
             starts, bands = self.packed

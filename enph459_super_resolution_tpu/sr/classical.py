@@ -493,10 +493,19 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
     return _device_put_dedup(mats)
 
 
+def _mm_precision_key():
+    """The active matmul precision/algorithm, for the solver cache key
+    (the einsums read ``opmatrix._MM_PRECISION`` at trace time, so a
+    changed knob must map to a fresh cache entry)."""
+    from ..ops import opmatrix
+    return opmatrix._MM_PRECISION
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
                     n_iter, step, clip_max, engine, lr_shape, dtype_name,
-                    reps=1, fused_mode="0", band_store="f32"):
+                    reps=1, fused_mode="0", band_store="f32",
+                    mm_precision=None):
     """Jitted full-session solver + its device-resident operator matrices,
     cached per (psf, shifts, shape, config).
 
@@ -634,7 +643,8 @@ def solve(lr_stack, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
                                float(step), float(clip_max), engine,
                                lr_shape, dtype_name,
                                fused_mode=_fused_ibp_mode(),
-                               band_store=_band_store())
+                               band_store=_band_store(),
+                               mm_precision=_mm_precision_key())
     return fn(lr_stack, mats)
 
 
@@ -669,7 +679,8 @@ def solve_batch(lr_stacks, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
                                    float(step), float(clip_max), engine,
                                    lr_shape, dtype_name,
                                    fused_mode=_fused_ibp_mode(),
-                                   band_store=_band_store())
+                                   band_store=_band_store(),
+                                   mm_precision=_mm_precision_key())
         return jax.jit(jax.vmap(fn, in_axes=(0, None)))(lr_stacks, mats)
 
     fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
@@ -677,7 +688,8 @@ def solve_batch(lr_stacks, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
                                float(step), float(clip_max), engine,
                                lr_shape, dtype_name, reps=r,
                                fused_mode=_fused_ibp_mode(),
-                               band_store=_band_store())
+                               band_store=_band_store(),
+                               mm_precision=_mm_precision_key())
     n, h, w = lr_stacks.shape[-3:]
     stacked = jnp.asarray(lr_stacks).transpose(1, 0, 2, 3).reshape(n, r * h, w)
     out = fn(stacked, mats)

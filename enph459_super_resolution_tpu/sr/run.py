@@ -97,9 +97,21 @@ def main(argv=None) -> int:
                         "+/-1-uint8-of-f32 parity (the production "
                         "throughput mode); bf16 = fastest, parity loosens "
                         "to +/-2 (see PERF_NOTES)")
+    p.add_argument("--mm-precision", default=None,
+                   metavar="{HIGHEST,DEFAULT,BF16_BF16_F32_X3,...}",
+                   help="matmul precision/algorithm for the banded engine "
+                        "(jax Precision or DotAlgorithmPreset name). "
+                        "BF16_BF16_F32_X3 (split-f32 3-pass bf16 emulation) "
+                        "measures +/-1 uint8 of HIGHEST at 1.2x speed, and "
+                        "makes the hybrid band-store tail ~1.6x faster "
+                        "(PERF_NOTES); HIGHEST is the strict default")
     args = p.parse_args(argv)
     if args.band_store:
         os.environ["SRTPU_BAND_STORE"] = args.band_store
+    if args.mm_precision:
+        from ..ops import opmatrix
+        opmatrix._MM_PRECISION = opmatrix._resolve_mm_precision(
+            args.mm_precision)
 
     cfg = WORKLOADS[args.workload]
     if args.psf == "measured":

@@ -225,6 +225,41 @@ def test_band_store_hybrid_tracks_f32_tightly(monkeypatch):
                                rtol=0.02)
 
 
+def test_mm_precision_x3_tracks_highest_and_keys_cache():
+    """SRTPU_MM_PRECISION=BF16_BF16_F32_X3 (split-f32 3-pass bf16
+    emulation — jax DotAlgorithmPreset) must track the HIGHEST engine
+    within +/-1 uint8 (chip-measured: float maxdiff 0.011 on the full
+    reference solve, 1.2x faster; PERF_NOTES round-3), and the precision
+    knob must be part of the solver cache key (changing it mid-process
+    recompiles instead of returning the stale engine)."""
+    from enph459_super_resolution_tpu.ops import opmatrix
+    from enph459_super_resolution_tpu.sr.classical import (_compiled_solve,
+                                                           to_uint8)
+
+    psf = make_gaussian_psf()
+    hr_true = make_scene(64, 80)
+    lrs = np.stack([np_forward(hr_true, psf, s, 2) for s in SHIFTS])
+    dev = jnp.asarray(lrs, jnp.float32)
+
+    want = solve(dev, psf, SHIFTS, n_iter=20)
+    misses_before = _compiled_solve.cache_info().misses
+    prev = opmatrix._MM_PRECISION
+    try:
+        opmatrix._MM_PRECISION = opmatrix._resolve_mm_precision(
+            "BF16_BF16_F32_X3")
+        got = solve(dev, psf, SHIFTS, n_iter=20)
+    finally:
+        opmatrix._MM_PRECISION = prev
+    # a fresh cache entry, not the stale HIGHEST-compiled solver
+    assert _compiled_solve.cache_info().misses == misses_before + 1
+    for k in ("native", "saa", "ibp"):
+        a = to_uint8(want[k]).astype(np.int16)
+        b = to_uint8(got[k]).astype(np.int16)
+        assert np.abs(a - b).max() <= 1, k
+    np.testing.assert_allclose(np.asarray(got["mse_history"]),
+                               np.asarray(want["mse_history"]), rtol=0.01)
+
+
 def test_measured_psf_rank_deficient_separable():
     """Non-separable PSFs route through the SVD rank expansion exactly."""
     from enph459_super_resolution_tpu.ops.opmatrix import psf_separable_factors
