@@ -19,7 +19,7 @@ def build(verbose: bool = True) -> str:
     return out
 
 
-if __name__ == "__main__":
+def main(argv=None) -> int:
     path = build()
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))))
@@ -27,3 +27,8 @@ if __name__ == "__main__":
 
     png_loader._TRIED = False  # force re-probe after build
     print("built:", path, "loadable:", png_loader.available())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
