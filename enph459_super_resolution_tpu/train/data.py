@@ -146,6 +146,73 @@ def natural_scene_pool(n_images: int = 32, size: int = 192,
     return pool
 
 
+def edges_scene_pool(n_images: int = 32, size: int = 192,
+                     channels: int = 3, seed: int = 0
+                     ) -> List[np.ndarray]:
+    """Procedural *piecewise-smooth* scenes: the Set5-like regime.
+
+    The benchmark images where small SR nets post their literature wins
+    (Set5's baby/bird/butterfly) are dominated by smooth shading separated
+    by sharp occlusion edges — content whose above-Nyquist energy is
+    *deterministic* (edges continue), so a x4 model can genuinely
+    reconstruct it.  :func:`synthetic_scene_pool` instead carries
+    broadband noise texture and :func:`natural_scene_pool` deliberately
+    stochastic fine grain; on both, capacity-starved models (FSRCNN x4)
+    can't beat bicubic (RESULTS.md).  This pool isolates the edge regime:
+    smooth gradients + overlapping shaded ellipses/half-planes + thin
+    curved lines, anti-aliased at ~0.7 px, with NO stochastic texture.
+    """
+    import scipy.ndimage as ndi
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+    pool = []
+    for _ in range(n_images):
+        # smooth background: low-order ramp + large-scale blobs
+        gy, gx = rng.uniform(-40, 40, 2)
+        lum = 120 + gy * (yy / size - 0.5) + gx * (xx / size - 0.5)
+        lum += ndi.gaussian_filter(rng.uniform(-1, 1, (size, size)), 24) * 90
+        # overlapping shaded shapes with sharp boundaries
+        for _ in range(rng.integers(8, 16)):
+            cy, cx = rng.uniform(0, size, 2)
+            ry, rx = rng.uniform(size / 16, size / 3, 2)
+            th = rng.uniform(0, np.pi)
+            u = (yy - cy) * np.cos(th) + (xx - cx) * np.sin(th)
+            v = -(yy - cy) * np.sin(th) + (xx - cx) * np.cos(th)
+            if rng.uniform() < 0.25:  # half-plane (straight edge)
+                mask = u > 0
+            else:  # ellipse
+                mask = (u / ry) ** 2 + (v / rx) ** 2 < 1
+            sy, sx = rng.uniform(-30, 30, 2)
+            shade = (rng.uniform(-70, 70)
+                     + sy * (yy - cy) / size + sx * (xx - cx) / size)
+            lum = np.where(mask, lum + shade, lum)
+        # a few thin curved lines (quadratic strokes)
+        for _ in range(rng.integers(2, 6)):
+            a, b, c = rng.uniform(-1, 1, 3)
+            t = (xx / size - 0.5)
+            curve = size * (0.5 + 0.35 * (a * t * t + b * t + c))
+            width = rng.uniform(1.0, 2.5)
+            d = np.abs(yy - curve)
+            lum = np.where(d < width, lum + rng.uniform(-80, 80), lum)
+        # optical anti-aliasing: edges get a realistic ~0.7 px width
+        lum = ndi.gaussian_filter(lum, 0.7)
+        img = np.repeat(lum[:, :, None], channels, axis=-1)
+        if channels == 3:
+            tint = rng.uniform(0.85, 1.15, 3)
+            img = img * tint[None, None, :]
+        pool.append(np.clip(img, 0, 255).astype(np.float32))
+    return pool
+
+
+#: procedural pool registry, keyed by the CLIs' ``--pool`` choice
+POOL_KINDS = {
+    "synthetic": synthetic_scene_pool,
+    "natural": natural_scene_pool,
+    "edges": edges_scene_pool,
+}
+
+
 # ---------------------------------------------------------------------------
 # on-device patch batches
 # ---------------------------------------------------------------------------

@@ -77,7 +77,7 @@ def main(argv=None) -> int:
                    help="interpolation weight on --interp-run (ESRGAN paper "
                         "default 0.8)")
     p.add_argument("--pool", default="synthetic",
-                   choices=["synthetic", "natural"],
+                   choices=["synthetic", "natural", "edges"],
                    help="procedural eval pool when no --data-dir is given "
                         "(match the training run's --pool)")
     p.add_argument("--platform", default=None)
@@ -91,8 +91,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from ..models import create_model
-    from .data import (evaluate_sr, image_pool_from_dir, natural_scene_pool,
-                       synthetic_scene_pool)
+    from .data import POOL_KINDS, evaluate_sr, image_pool_from_dir
 
     kwargs = {"channels": args.channels}
     if args.model != "srcnn":
@@ -101,8 +100,7 @@ def main(argv=None) -> int:
         kwargs.update(json.loads(args.model_kwargs))
     model = create_model(args.model, **kwargs)
 
-    make_pool = (natural_scene_pool if args.pool == "natural"
-                 else synthetic_scene_pool)
+    make_pool = POOL_KINDS[args.pool]
     pool = (image_pool_from_dir(args.data_dir, channels=args.channels)
             if args.data_dir else
             make_pool(n_images=8, channels=args.channels))

@@ -65,9 +65,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
     from ..models import VGGStyleDiscriminator, create_model
     from ..parallel import (make_mesh, parse_mesh_spec, shard_params_tp,
                             shard_train_step)
-    from .data import (PatchConfig, evaluate_sr, image_pool_from_dir,
-                       make_patch_sampler, natural_scene_pool,
-                       synthetic_scene_pool)
+    from .data import (POOL_KINDS, PatchConfig, evaluate_sr,
+                       image_pool_from_dir, make_patch_sampler)
     from .state import (GANBalance, GANTrainState, TrainConfig, TrainState,
                         make_gan_train_step, make_optimizer, make_train_step)
 
@@ -80,8 +79,7 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         model = create_model(model_name, scale=scale, channels=channels,
                              **kwargs)
 
-    make_pool = (natural_scene_pool if pool_kind == "natural"
-                 else synthetic_scene_pool)
+    make_pool = POOL_KINDS[pool_kind]
     pool = (image_pool_from_dir(data_dir, channels=channels) if data_dir
             else make_pool(n_images=pool_images,
                            channels=channels, seed=seed,
@@ -319,12 +317,14 @@ def main(argv=None) -> int:
                    help="synthetic-pool size when no --data-dir is given "
                         "(small pools overfit past ~20k steps)")
     p.add_argument("--pool", default="synthetic",
-                   choices=["synthetic", "natural"],
+                   choices=["synthetic", "natural", "edges"],
                    help="procedural pool when no --data-dir is given: "
-                        "'synthetic' (learnable edges/boxes/bars) or "
+                        "'synthetic' (learnable edges/boxes/bars), "
                         "'natural' (1/f spectra + stochastic fine texture "
                         "above the LR Nyquist — exposes the perception-"
-                        "distortion tradeoff; see natural_scene_pool)")
+                        "distortion tradeoff; see natural_scene_pool), or "
+                        "'edges' (piecewise-smooth Set5-like scenes where "
+                        "x4 edge reconstruction dominates)")
     p.add_argument("--model-kwargs", default=None,
                    help='JSON dict of extra model constructor kwargs, e.g. '
                         '\'{"nb": 8}\' for a smaller RRDBNet or '

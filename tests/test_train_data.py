@@ -482,3 +482,36 @@ def test_network_interpolation(tmp_path, capsys):
                       "--alpha", "0.5"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["alpha"] == 0.5 and np.isfinite(out["psnr"])
+
+
+def test_edges_scene_pool_statistics():
+    """The 'edges' pool (Set5-like regime): piecewise-smooth scenes whose
+    above-Nyquist energy is deterministic edge continuation — the x4
+    round trip keeps most of the gradient energy (unlike 'natural'), so
+    small models can post their literature-scale wins on it."""
+    from enph459_super_resolution_tpu.train.data import (POOL_KINDS,
+                                                         edges_scene_pool)
+
+    assert POOL_KINDS["edges"] is edges_scene_pool
+    pool = edges_scene_pool(n_images=3, size=160, channels=3, seed=5)
+    assert len(pool) == 3
+    for img in pool:
+        assert img.shape == (160, 160, 3) and img.dtype == np.float32
+        assert img.min() >= 0.0 and img.max() <= 255.0
+    assert not np.allclose(pool[0], pool[1])
+    again = edges_scene_pool(n_images=3, size=160, channels=3, seed=5)
+    np.testing.assert_array_equal(pool[0], again[0])
+
+    def grad_energy(x):
+        gy = np.diff(x, axis=0)[:, :-1]
+        gx = np.diff(x, axis=1)[:-1, :]
+        return float(np.mean(np.hypot(gy, gx)))
+
+    for img in pool:
+        hr = jnp.asarray(img)
+        bic = bicubic_upsample(bicubic_degrade(hr[None], 4), 4)[0]
+        ratio = grad_energy(np.asarray(bic)[..., 0]) / grad_energy(img[..., 0])
+        # edges survive the x4 round trip far better than stochastic
+        # texture (natural pool asserts < 0.45 here) yet are NOT fully
+        # carried (else there would be nothing for a model to add)
+        assert 0.5 < ratio < 0.98, f"edge-regime ratio out of band: {ratio}"
