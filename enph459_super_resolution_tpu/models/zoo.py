@@ -250,10 +250,45 @@ class VGGStyleDiscriminator(nn.Module):
         return x.astype(jnp.float32)
 
 
+class BurstFusion(nn.Module):
+    """Multi-frame (burst) fusion SR — the reference's *actual* task,
+    learned: N sub-pixel-shifted LR frames -> one HR image.
+
+    Align-then-fuse: the caller registers each frame onto the HR grid with
+    the known/nominal shifts (``sr.fusion.register_burst`` — explicit
+    physics stays explicit), and this trunk learns only what classical IBP
+    cannot express: joint deconvolution, denoising, and robustness to
+    *residual misregistration* (shift calibration error).  Input is the
+    registered stack ``(B, H, W, N)`` on the HR grid (0..255); output
+    ``(B, H, W, 1)``, residual over the stack mean (== the SAA estimate,
+    so an untrained/zero net already reproduces shift-and-add).
+    """
+
+    n_frames: int = 4
+    n_feats: int = 48
+    n_resblocks: int = 6
+    rgb_range: float = 255.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        base = jnp.mean(x, axis=-1, keepdims=True)  # SAA estimate
+        h = ((x - self.rgb_range / 2) / self.rgb_range).astype(self.dtype)
+        h = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(h)
+        for _ in range(self.n_resblocks):
+            h = ResBlock(self.n_feats, dtype=self.dtype)(h)
+        # zero-init head: the model IS shift-and-add at step 0 and training
+        # only ever moves it away from the classical estimate
+        h = nn.Conv(1, (3, 3), dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros)(h)
+        return base + h.astype(jnp.float32) * self.rgb_range
+
+
 MODELS = {
     "srcnn": SRCNN,
     "espcn": ESPCN,
     "fsrcnn": FSRCNN,
+    "burstfusion": BurstFusion,
     "edsr": EDSR,
     "rrdbnet": RRDBNet,
 }

@@ -101,3 +101,59 @@ def bicubic_upsample(lr, scale: int):
     h_ax = lr.ndim - (3 if has_c else 2)
     h, w = lr.shape[h_ax], lr.shape[h_ax + 1]
     return resize(lr, (h * scale, w * scale))
+
+
+# ---------------------------------------------------------------------------
+# traced-shift Keys-cubic sampling (burst simulation / registration)
+# ---------------------------------------------------------------------------
+#
+# The scipy-parity resamplers in ops.resample bake the sub-pixel shift into
+# FIR kernels at *trace time* (static shifts: one compiled program per shift
+# set — right for the classical workloads, whose shifts are config).  Burst
+# fusion training draws fresh random shifts every batch, so the shift must
+# be a *traced* value: these samplers compute the 4 Keys-cubic tap weights
+# from the traced fractional part and gather the taps with dynamic slices
+# (whose clamping, on an edge-padded array, realizes 'nearest' boundaries).
+
+def _keys_cubic_jnp(x, a: float = -0.5):
+    ax = jnp.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    return jnp.where(
+        ax <= 1, (a + 2) * ax3 - (a + 3) * ax2 + 1,
+        jnp.where(ax < 2, a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a, 0.0))
+
+
+def _keys_shift_axis(x, shift, axis: int, pad: int):
+    """Shift (..., n, ...) along ``axis`` by a traced scalar ``shift``
+    (out[i] = in[i - shift], Keys cubic, nearest boundary), |shift| <= pad-2."""
+    n = x.shape[axis]
+    u = -shift  # sample coordinate offset: out[i] samples in[i + u]
+    m = jnp.floor(u)
+    f = u - m  # fractional part in [0, 1)
+    base = m.astype(jnp.int32) + (pad - 1)  # first tap index in padded array
+    pad_widths = [(0, 0)] * x.ndim
+    pad_widths[axis] = (pad, pad)
+    xp = jnp.pad(x, pad_widths, mode="edge")
+    # 4 taps at offsets -1, 0, +1, +2 around floor(u); dynamic_slice clamps
+    # out-of-range starts, which on the edge-padded array extends 'nearest'
+    out = None
+    for j in range(4):
+        w = _keys_cubic_jnp(f - (j - 1)).astype(x.dtype)
+        tap = jax.lax.dynamic_slice_in_dim(xp, base + j, n, axis=axis)
+        out = tap * w if out is None else out + tap * w
+    return out
+
+
+def keys_shift2d(x, shift_yx, pad: int = 8):
+    """Sub-pixel translate the trailing-2 axes of ``x`` by a *traced*
+    ``(dy, dx)``: ``out[y, x] = in[y - dy, x - dx]`` (matching
+    ``ops.resample.spline_shift`` sign conventions), Keys-cubic (a = -0.5)
+    interpolation, nearest-edge boundary.  |dy|, |dx| must be <= pad - 2.
+
+    Use for burst simulation and frame registration where shifts are data
+    (drawn per training batch); for the classical solver's static config
+    shifts, the scipy-exact :func:`~..ops.resample.spline_shift` applies.
+    """
+    dy, dx = shift_yx[0], shift_yx[1]
+    x = _keys_shift_axis(x, dy, x.ndim - 2, pad)
+    return _keys_shift_axis(x, dx, x.ndim - 1, pad)

@@ -1,0 +1,91 @@
+"""Burst (multi-frame) fusion SR: registration, simulation, inference.
+
+The reference's task is multi-frame SR from sub-pixel-shifted bursts
+(``mono_barcodes/run_sr.py:212-240`` solves it classically with SAA + IBP).
+This module is the *learned* counterpart's data path:
+
+  * :func:`simulate_burst` — the same blur -> shift -> decimate forward
+    model, but with **traced** shifts (every training batch draws fresh
+    shift jitter and sensor noise without recompiling) and differentiable
+    end to end.
+  * :func:`register_burst` — align-then-fuse: bicubic-upsample each frame
+    onto the HR grid and translate it by the known/nominal shifts.  The
+    physics we know (registration) stays explicit; the network
+    (:class:`~..models.zoo.BurstFusion`) learns only what classical IBP
+    cannot express — joint deconvolution, denoising, and robustness to
+    *residual misregistration* when the calibrated shifts are wrong.
+  * :func:`fuse` — single-dispatch full-image inference.
+
+``train.burst`` trains on this path and benchmarks against classical
+SAA/IBP given the same nominal shifts under shift-calibration error and
+sensor noise.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv2d_same, spline_zoom
+from ..ops.resize import keys_shift2d
+
+#: The reference's hardcoded 4-corner nominal shift pattern, LR px
+#: (``mono_barcodes/run_sr.py:71-77``).
+NOMINAL_SHIFTS_4 = ((0.5, 0.5), (0.5, -0.5), (-0.5, 0.5), (-0.5, -0.5))
+
+
+def register_burst(lr_stack, shifts_yx, factor: int):
+    """LR burst -> HR-grid registered stack.
+
+    Args:
+      lr_stack: ``f32[N, h, w]`` frames.
+      shifts_yx: ``f32[N, 2]`` LR-pixel ``(dy, dx)`` shifts — may be traced
+        (unlike :func:`~.classical.shift_and_add`, whose static shifts bake
+        into FIR kernels).
+      factor: integer upsample factor.
+
+    Returns:
+      ``f32[h*factor, w*factor, N]`` — each channel is one frame bicubic-
+      upsampled and translated into registration (the per-frame terms of
+      shift-and-add, kept separate for a network to fuse).
+    """
+    shifts_yx = jnp.asarray(shifts_yx, lr_stack.dtype)
+    up = spline_zoom(lr_stack, factor)
+    reg = jax.vmap(lambda f, s: keys_shift2d(f, s * factor))(up, shifts_yx)
+    return jnp.moveaxis(reg, 0, -1)
+
+
+def simulate_burst(hr, shifts_yx, psf, factor: int,
+                   noise_sigma=0.0, key=None):
+    """HR scene -> LR burst via the classical forward model.
+
+    blur (PSF) -> translate by ``shift * factor`` HR px (traced shifts) ->
+    decimate ``[::factor]`` -> additive Gaussian read noise, clipped to the
+    sensor's 0..255 range.  Matches :func:`~.classical.forward_model`
+    frame-for-frame (Keys-cubic vs B-spline interpolation is the only
+    difference; both are C1 cubic resamplers).
+    """
+    blurred = conv2d_same(hr, psf)
+    shifts_yx = jnp.asarray(shifts_yx, hr.dtype)
+
+    def one(s):
+        sh = keys_shift2d(blurred, s * factor)
+        return sh[..., ::factor, ::factor]
+
+    lr = jax.vmap(one)(shifts_yx)
+    if key is not None:
+        lr = lr + noise_sigma * jax.random.normal(key, lr.shape, lr.dtype)
+    return jnp.clip(lr, 0.0, 255.0)
+
+
+def fuse(apply_fn, params, lr_stack, shifts_yx, factor: int):
+    """Full-image burst fusion: register, run the net, clip to range.
+
+    ``apply_fn(params, stack[B, H, W, N]) -> sr[B, H, W, 1]`` (the
+    :class:`~..models.zoo.BurstFusion` contract).
+    """
+    stack = register_burst(lr_stack, shifts_yx, factor)
+    sr = apply_fn(params, stack[None])[0, ..., 0]
+    return jnp.clip(sr, 0.0, 255.0)

@@ -1,0 +1,346 @@
+"""Burst-fusion training: learn the reference's multi-frame SR task.
+
+Classical SAA+IBP (``sr.classical``) inverts the burst forward model
+analytically given the calibrated shifts and PSF.  This trainer learns the
+inversion instead (``models.zoo.BurstFusion`` on the registered stack from
+``sr.fusion``), on bursts simulated with the *same* forward model — so the
+learned engine can be benchmarked head-to-head against SAA/IBP on held-out
+scenes, both given only the NOMINAL (calibration) shifts while the true
+shifts carry jitter and the sensor adds read noise (the real rig's
+conditions: SURVEY.md §6 pegs shift repeatability at sigma ~0.004-0.07 px).
+
+    python -m enph459_super_resolution_tpu.train.burst \
+        --steps 20000 --noise 2.0 --jitter 0.05 --out /tmp/burst_run
+
+Evaluation (also standalone via ``--eval-only``) reports PSNR for bicubic /
+SAA / IBP / fusion on the same bursts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sr.fusion import NOMINAL_SHIFTS_4, fuse, register_burst, simulate_burst
+
+
+def make_burst_gen(nominal, factor: int, psf, noise_sigma: float,
+                   jitter_sigma: float, margin_lr: int = 6):
+    """Build the jitted batch generator.
+
+    ``gen(hr_patches[B, Hp, Wp], key) -> (stack[B, H, W, N], target[B, H, W, 1])``
+
+    True shifts = nominal + N(0, jitter) per burst; frames carry Gaussian
+    read noise; registration uses only the NOMINAL shifts (training bakes
+    in robustness to the residual misregistration).  A ``margin_lr`` LR-px
+    border is cropped from both stack and target so boundary resampling
+    artifacts never enter the loss.
+    """
+    nom = jnp.asarray(nominal, jnp.float32)
+    psf_j = jnp.asarray(psf, jnp.float32)
+    m = margin_lr * factor
+
+    def gen(hr, key):
+        b = hr.shape[0]
+        kj, kn = jax.random.split(key)
+        true = nom[None] + jitter_sigma * jax.random.normal(
+            kj, (b,) + nom.shape, jnp.float32)
+        keys = jax.random.split(kn, b)
+        lr = jax.vmap(
+            lambda h, s, k: simulate_burst(h, s, psf_j, factor,
+                                           noise_sigma, k))(hr, true, keys)
+        stack = jax.vmap(lambda l: register_burst(l, nom, factor))(lr)
+        stack = stack[:, m:stack.shape[1] - m, m:stack.shape[2] - m, :]
+        tgt = hr[:, m:hr.shape[1] - m, m:hr.shape[2] - m, None]
+        return stack, tgt
+
+    return gen
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "batch"))
+def _crop_hr_batch(pool_arr, key, hp: int, batch: int):
+    """Device-resident random HR crops + flip/rot augmentation (mono)."""
+    p, h, w = pool_arr.shape
+    kimg, ky, kx, kf = jax.random.split(key, 4)
+    idx = jax.random.randint(kimg, (batch,), 0, p)
+    ys = jax.random.randint(ky, (batch,), 0, h - hp + 1)
+    xs = jax.random.randint(kx, (batch,), 0, w - hp + 1)
+    crops = jax.vmap(lambda i, y, x: jax.lax.dynamic_slice(
+        pool_arr[i], (y, x), (hp, hp)))(idx, ys, xs)
+    flips = jax.random.bernoulli(kf, shape=(batch, 3))
+    crops = jnp.where(flips[:, 0, None, None], jnp.flip(crops, 1), crops)
+    crops = jnp.where(flips[:, 1, None, None], jnp.flip(crops, 2), crops)
+    crops = jnp.where(flips[:, 2, None, None],
+                      jnp.rot90(crops, axes=(1, 2)), crops)
+    return crops
+
+
+def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
+                   nominal=NOMINAL_SHIFTS_4, factor: int = 2,
+                   psf=None, noise_sigma: float = 2.0,
+                   jitter_sigma: float = 0.05, n_iter: int = 80,
+                   shave: int = 12, seed: int = 1234,
+                   classical: bool = True) -> dict:
+    """Head-to-head burst-SR evaluation on held-out scenes.
+
+    Each scene is the HR ground truth; its burst is simulated with TRUE
+    shifts = nominal + jitter and read noise, then every engine gets only
+    the NOMINAL shifts (the field condition).  Returns mean PSNR (border-
+    shaved) for bicubic LR-mean upsample / SAA / IBP / fusion.
+    """
+    from ..ops import spline_zoom
+    from ..sr import classical
+
+    if psf is None:
+        psf = classical.make_gaussian_psf()
+    psf_j = jnp.asarray(psf, jnp.float32)
+    nom = jnp.asarray(nominal, jnp.float32)
+    nominal_static = tuple((float(dy), float(dx)) for dy, dx in nominal)
+    key = jax.random.PRNGKey(seed)
+
+    def psnr(a, b):
+        a = np.asarray(a, np.float64)[shave:-shave, shave:-shave]
+        b = np.asarray(b, np.float64)[shave:-shave, shave:-shave]
+        mse = np.mean((a - b) ** 2)
+        return float(10 * np.log10(255.0 ** 2 / mse))
+
+    sums: dict = {}
+    for scene in scenes:
+        hr_true = jnp.asarray(np.asarray(scene, np.float32))
+        if hr_true.ndim == 3:
+            hr_true = hr_true.mean(-1)
+        h, w = hr_true.shape
+        hr_true = hr_true[: h - h % factor, : w - w % factor]
+        key, kj, kn = jax.random.split(key, 3)
+        true = nom + jitter_sigma * jax.random.normal(kj, nom.shape)
+        lr = simulate_burst(hr_true, true, psf_j, factor, noise_sigma, kn)
+        rows = {}
+        rows["bicubic"] = jnp.clip(
+            spline_zoom(jnp.mean(lr, axis=0), factor), 0, 255)
+        if classical:
+            saa = classical.shift_and_add(lr, nominal_static, factor)
+            rows["saa"] = jnp.clip(saa, 0, 255)
+            hr_ibp, _ = classical.ibp(lr, nominal_static, psf_j,
+                                      jnp.clip(saa, 0, 255), factor,
+                                      n_iter=n_iter)
+            rows["ibp"] = hr_ibp
+        if apply_fn is not None:
+            rows["fusion"] = fuse(apply_fn, params, lr, nom, factor)
+        for name, img in rows.items():
+            sums.setdefault(name, []).append(psnr(img, hr_true))
+    out = {f"psnr_{k}": float(np.mean(v)) for k, v in sums.items()}
+    out.update(noise_sigma=noise_sigma, jitter_sigma=jitter_sigma,
+               n_scenes=len(scenes))
+    return out
+
+
+def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
+                frames: int = 4, factor: int = 2, n_feats: int = 48,
+                n_resblocks: int = 6, noise: float = 2.0,
+                jitter: float = 0.05, learning_rate: float = 1e-4,
+                loss: str = "l1", out_dir: str = "/tmp/burst_run",
+                pool_kind: str = "synthetic", pool_images: int = 64,
+                seed: int = 0, eval_every: int = 2000,
+                ckpt_every: int = 1000, resume: bool = True,
+                margin_lr: int = 6) -> dict:
+    """Train BurstFusion on simulated bursts; returns final eval metrics."""
+    import orbax.checkpoint as ocp
+
+    from ..models import create_model
+    from .data import POOL_KINDS
+    from .loop import _rss_mb
+    from .state import TrainConfig, TrainState, make_optimizer, make_train_step
+    from ..sr.classical import make_gaussian_psf
+
+    if frames != len(NOMINAL_SHIFTS_4):
+        raise ValueError("v1 supports the 4-corner pattern; got "
+                         f"frames={frames}")
+    os.makedirs(out_dir, exist_ok=True)
+    size = max(lr_patch * factor + 32, 192)
+    pool = POOL_KINDS[pool_kind](n_images=pool_images, channels=1,
+                                 seed=seed, size=size)
+    n_eval = max(2, len(pool) // 8)
+    eval_pool, train_pool = pool[:n_eval], pool[n_eval:]
+    pool_arr = jnp.asarray(np.stack([p[..., 0] for p in train_pool]))
+
+    psf = make_gaussian_psf()
+    gen = make_burst_gen(NOMINAL_SHIFTS_4, factor, psf, noise, jitter,
+                         margin_lr=margin_lr)
+    hp = (lr_patch + 2 * margin_lr) * factor  # padded HR patch side
+
+    model = create_model("burstfusion", n_frames=frames, n_feats=n_feats,
+                         n_resblocks=n_resblocks)
+    hw = lr_patch * factor
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, hw, hw, frames), jnp.float32))
+    cfg = TrainConfig(learning_rate=learning_rate, loss=loss,
+                      lr_halve_every=max(steps // 2, 1))
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step_fn = make_train_step(model.apply, tx, cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fused_step(st, pool_dev, key):
+        kc, kg = jax.random.split(key)
+        hr = _crop_hr_batch(pool_dev, kc, hp, batch)
+        stack, tgt = gen(hr, kg)
+        return step_fn(st, stack, tgt)
+
+    ckpt_dir = os.path.abspath(os.path.join(out_dir, "ckpt"))
+    mngr = ocp.CheckpointManager(
+        ocp.test_utils.erase_and_create_empty(ckpt_dir)
+        if not (resume and os.path.isdir(ckpt_dir)) else ckpt_dir,
+        options=ocp.CheckpointManagerOptions(max_to_keep=2))
+    start_step = 0
+    latest = mngr.latest_step()
+    if resume and latest is not None:
+        state = mngr.restore(latest, args=ocp.args.StandardRestore(state))
+        start_step = int(latest)
+        print(f"resumed from step {start_step}")
+
+    run_cfg = dict(model="burstfusion", frames=frames, factor=factor,
+                   n_feats=n_feats, n_resblocks=n_resblocks, noise=noise,
+                   jitter=jitter, lr_patch=lr_patch, batch=batch,
+                   steps=steps, pool=pool_kind, pool_images=pool_images,
+                   loss=loss, learning_rate=learning_rate, seed=seed)
+    with open(os.path.join(out_dir, "config.json"), "w") as fp:
+        json.dump(run_cfg, fp, indent=2)
+
+    key = jax.random.PRNGKey(seed + 17)
+    key = jax.random.fold_in(key, start_step)
+    log_every = 50
+    t0 = time.time()
+    with open(os.path.join(out_dir, "metrics.jsonl"), "a") as mfp:
+        for it in range(start_step + 1, steps + 1):
+            key, sub = jax.random.split(key)
+            state, metrics = fused_step(state, pool_arr, sub)
+            if it % log_every == 0 or it == 1 or it == steps:
+                rec = {k: float(v) for k, v in metrics.items()}
+                rec.update(step=it, wall_s=round(time.time() - t0, 1),
+                           rss_mb=_rss_mb())
+                mfp.write(json.dumps(rec) + "\n")
+                mfp.flush()
+                print(f"step {it}/{steps} " +
+                      " ".join(f"{k}={v:.4g}" for k, v in rec.items()
+                               if k != "step"))
+            if it % ckpt_every == 0 or it == steps:
+                mngr.save(it, args=ocp.args.StandardSave(state))
+            if it % eval_every == 0 or it == steps:
+                ev = evaluate_burst(model.apply, state.ema_params,
+                                    eval_pool, factor=factor, psf=psf,
+                                    noise_sigma=noise, jitter_sigma=jitter,
+                                    classical=(it == steps))
+                ev["step"] = it
+                print("  eval: " + " ".join(
+                    f"{k}={v:.3f}" for k, v in ev.items()
+                    if k.startswith("psnr")))
+                with open(os.path.join(out_dir, "eval.jsonl"), "a") as efp:
+                    efp.write(json.dumps(ev) + "\n")
+    mngr.wait_until_finished()
+
+    final = evaluate_burst(model.apply, state.ema_params, eval_pool,
+                           factor=factor, psf=psf, noise_sigma=noise,
+                           jitter_sigma=jitter)
+    final["steps"] = steps
+    with open(os.path.join(out_dir, "final_eval.json"), "w") as fp:
+        json.dump(final, fp, indent=2)
+    return final
+
+
+def load_burst_run(run_dir: str):
+    """Restore a trained burst run -> (apply_fn, ema_params, config)."""
+    import orbax.checkpoint as ocp
+
+    from ..models import create_model
+
+    with open(os.path.join(run_dir, "config.json")) as fp:
+        cfg = json.load(fp)
+    model = create_model("burstfusion", n_frames=cfg["frames"],
+                         n_feats=cfg["n_feats"],
+                         n_resblocks=cfg["n_resblocks"])
+    mngr = ocp.CheckpointManager(
+        os.path.abspath(os.path.join(run_dir, "ckpt")))
+    latest = mngr.latest_step()
+    if latest is None:
+        raise FileNotFoundError(f"no checkpoint under {run_dir}/ckpt")
+    tree = mngr.restore(latest)  # raw pytree (same protocol as evaluate.py)
+    ema = jax.tree.map(jnp.asarray, tree["ema_params"])
+    return model.apply, ema, cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--lr-patch", type=int, default=24)
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--factor", type=int, default=2)
+    p.add_argument("--n-feats", type=int, default=48)
+    p.add_argument("--n-resblocks", type=int, default=6)
+    p.add_argument("--noise", type=float, default=2.0,
+                   help="sensor read-noise sigma (8-bit counts)")
+    p.add_argument("--jitter", type=float, default=0.05,
+                   help="shift-calibration error sigma (LR px; the rig "
+                        "measures 0.004-0.07, SURVEY.md §6)")
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--loss", default="l1",
+                   choices=["l1", "l2", "charbonnier"])
+    p.add_argument("--out", default="/tmp/burst_run")
+    p.add_argument("--pool", default="synthetic",
+                   choices=["synthetic", "natural", "edges"])
+    p.add_argument("--pool-images", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=2000)
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training: evaluate the run in --out against "
+                        "bicubic/SAA/IBP at --noise/--jitter")
+    p.add_argument("--eval-iters", type=int, default=80,
+                   help="IBP iterations in the classical comparison")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.eval_only:
+        from .data import POOL_KINDS
+
+        apply_fn, ema, cfg = load_burst_run(args.out)
+        pool = POOL_KINDS[args.pool](n_images=args.pool_images,
+                                     channels=1, seed=args.seed,
+                                     size=192)
+        n_eval = max(2, len(pool) // 8)
+        out = evaluate_burst(apply_fn, ema, pool[:n_eval],
+                             factor=cfg["factor"], noise_sigma=args.noise,
+                             jitter_sigma=args.jitter,
+                             n_iter=args.eval_iters)
+        print(json.dumps(out))
+        return 0
+
+    final = train_burst(steps=args.steps, batch=args.batch,
+                        lr_patch=args.lr_patch, frames=args.frames,
+                        factor=args.factor, n_feats=args.n_feats,
+                        n_resblocks=args.n_resblocks, noise=args.noise,
+                        jitter=args.jitter,
+                        learning_rate=args.learning_rate, loss=args.loss,
+                        out_dir=args.out, pool_kind=args.pool,
+                        pool_images=args.pool_images, seed=args.seed,
+                        eval_every=args.eval_every,
+                        ckpt_every=args.ckpt_every,
+                        resume=not args.no_resume)
+    print(json.dumps(final))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
