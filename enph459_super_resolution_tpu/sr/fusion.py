@@ -89,3 +89,66 @@ def fuse(apply_fn, params, lr_stack, shifts_yx, factor: int):
     stack = register_burst(lr_stack, shifts_yx, factor)
     sr = apply_fn(params, stack[None])[0, ..., 0]
     return jnp.clip(sr, 0.0, 255.0)
+
+
+class FusionEngine:
+    """The learned burst engine as a drop-in product surface.
+
+    Wraps a trained ``train.burst`` run for the session pipeline
+    (``sr.run --fusion-run <dir>``): one jitted graph registers the
+    session's frames with its calibrated shifts (traced — every unit
+    shares the compiled program regardless of its shift values), runs
+    the net, and scores the result against the burst under the same
+    blur -> shift -> decimate forward model the classical IBP minimizes,
+    so ``metrics.json`` can report the learned and classical engines
+    side by side.
+    """
+
+    def __init__(self, run_dir: str, psf=None):
+        from ..train.burst import load_burst_run
+
+        self.apply_fn, self.params, self.cfg = load_burst_run(run_dir)
+        self.run_dir = run_dir
+        self.n_frames = int(self.cfg["frames"])
+        self.factor = int(self.cfg["factor"])
+        self._psf = psf
+        self._jitted = {}  # psf bytes -> compiled (static FIR blur kernel)
+
+    def _compiled(self, psf: "np.ndarray"):
+        import numpy as np
+
+        psf = np.asarray(psf, np.float32)
+        key = (psf.tobytes(), psf.shape)
+        if key not in self._jitted:
+            def _run(params, lr_stack, shifts):
+                sr = fuse(self.apply_fn, params, lr_stack, shifts,
+                          self.factor)
+                sim = jax.vmap(
+                    lambda s: simulate_burst(sr, s[None], psf,
+                                             self.factor)[0])(shifts)
+                return sr, jnp.mean((lr_stack - sim) ** 2)
+
+            self._jitted[key] = jax.jit(_run)
+        return self._jitted[key]
+
+    def check(self, n_frames: int, factor: int) -> None:
+        if (n_frames, factor) != (self.n_frames, self.factor):
+            raise ValueError(
+                f"fusion run {self.run_dir} was trained for "
+                f"{self.n_frames} frames at x{self.factor}; workload has "
+                f"{n_frames} frames at x{factor}")
+
+    def __call__(self, lr_stack, shifts_yx, psf):
+        """``f32[N, h, w]`` burst + N (dy, dx) shifts -> (sr, forward_mse).
+
+        ``forward_mse`` is the mean squared residual of re-imaging the
+        fused estimate through the forward model — the same quantity the
+        classical solver's ``final_mse`` reports (its forward model is
+        the scipy-exact B-spline resampler; this one is the training-time
+        Keys-cubic twin, equal to interpolant tolerance).
+        """
+        lr_stack = jnp.asarray(lr_stack, jnp.float32)
+        self.check(int(lr_stack.shape[0]), self.factor)
+        shifts = jnp.asarray(shifts_yx, jnp.float32)
+        fn = self._compiled(self._psf if psf is None else psf)
+        return fn(self.params, lr_stack, shifts)

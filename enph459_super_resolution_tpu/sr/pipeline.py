@@ -80,12 +80,18 @@ def save_figures(hr_images: Dict[str, np.ndarray], lr_mean: np.ndarray,
 def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
                  output_base: str, figures: bool = True,
                  force: bool = False, engine: str = "mm",
-                 sp: int = 1) -> Optional[str]:
+                 sp: int = 1, fusion=None) -> Optional[str]:
     """Run one SR unit (a session or one rep) end to end.
 
     ``sp > 1`` shards the IBP image plane over an sp-device mesh
     (:func:`~..parallel.solve_sharded`: explicit ppermute halo exchange,
     full-array parity with the unsharded solve — tests/test_parallel.py).
+
+    ``fusion`` (a :class:`~.fusion.FusionEngine`) additionally runs the
+    learned burst engine on the same frames/shifts and writes its output
+    (``fusion.png``) and forward-model MSE alongside the classical
+    artifacts — the reference schema is untouched, the learned engine is
+    additive.
 
     Returns the output dir, or None when skipped via ``done.flag``
     (idempotent resume, ``mono_barcodes/run_sr.py:306-308``).
@@ -116,6 +122,13 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
                            engine=engine)
         result = {k: np.asarray(v) for k, v in result.items()}  # d2h sync
 
+    if fusion is not None:
+        fusion.check(int(frames.shape[0]), cfg.upsample_factor)
+        with timer.stage("fusion"):
+            sr, fwd_mse = fusion(frames, session.shifts, psf)
+            result["fusion"] = np.asarray(sr)
+            result["fusion_forward_mse"] = float(fwd_mse)
+
     return _write_unit_artifacts(session, result, cfg, output_base, figures,
                                  timer)
 
@@ -134,6 +147,9 @@ def _write_unit_artifacts(session: SessionData, result: Dict,
         }
         name_map = {"Native-2x": "native_2x", "SAA": "SAA",
                     "SAA+IBP": "SAA_IBP"}
+        if "fusion" in result:  # learned burst engine (additive artifact)
+            hr_images["Fusion"] = to_uint8(result["fusion"])
+            name_map["Fusion"] = "fusion"
         for name, img in hr_images.items():
             save_png(img, os.path.join(out_dir, f"{name_map[name]}.png"))
         save_png(to_uint8(result["lr_mean"]),
@@ -165,6 +181,8 @@ def _write_unit_artifacts(session: SessionData, result: Dict,
         "timings_s": timer.as_dict(),
         "hr_megapixels": float(np.prod(result["ibp"].shape)) / 1e6,
     }
+    if "fusion_forward_mse" in result:
+        metrics["fusion_forward_mse"] = result["fusion_forward_mse"]
     with open(os.path.join(out_dir, "metrics.json"), "w") as fp:
         json.dump(metrics, fp, indent=2)
 
@@ -253,7 +271,7 @@ def _solve_units_batched(pending, psf, cfg, output_base, figures) -> int:
 
 def process_workload(session_dirs, psf, cfg, output_base, figures=True,
                      force=False, batch_reps=True, engine: str = "mm",
-                     max_batch: int = 4, sp: int = 1) -> int:
+                     max_batch: int = 4, sp: int = 1, fusion=None) -> int:
     """Process many sessions with CROSS-SESSION unit batching.
 
     The reference iterates sessions one at a time
@@ -263,9 +281,10 @@ def process_workload(session_dirs, psf, cfg, output_base, figures=True,
     ``max_batch`` (the data-parallel axis spanning sessions, not just reps
     within one).  Artifacts, prints, and done.flag semantics are identical
     to per-session processing — only the device dispatch granularity
-    changes.  Falls back to sequential units for the conv engine and for
+    changes.  Falls back to sequential units for the conv engine, for
     the spatially-sharded path (``sp > 1``: each unit's image plane is
-    already split over the mesh, so units go one at a time).
+    already split over the mesh, so units go one at a time), and when the
+    learned burst engine rides along (``fusion``, one unit per dispatch).
     """
     buffer: list = []
     n_done = 0
@@ -274,11 +293,12 @@ def process_workload(session_dirs, psf, cfg, output_base, figures=True,
         nonlocal buffer, n_done
         if not buffer:
             return
-        if len(buffer) == 1 or engine != "mm" or not batch_reps or sp > 1:
+        if len(buffer) == 1 or engine != "mm" or not batch_reps or sp > 1 \
+                or fusion is not None:
             for u in buffer:
                 if process_unit(u, psf, cfg, output_base, figures,
                                 force=True, engine=engine,
-                                sp=sp) is not None:
+                                sp=sp, fusion=fusion) is not None:
                     n_done += 1
         else:
             n_done += _solve_units_batched(buffer, psf, cfg, output_base,

@@ -97,6 +97,12 @@ def main(argv=None) -> int:
                         "+/-1-uint8-of-f32 parity (the production "
                         "throughput mode); bf16 = fastest, parity loosens "
                         "to +/-2 (see PERF_NOTES)")
+    p.add_argument("--fusion-run", default=None, metavar="RUN_DIR",
+                   help="also run the LEARNED burst engine (a trained "
+                        "train.burst run directory) on every unit, writing "
+                        "fusion.png and its forward-model MSE alongside the "
+                        "classical artifacts (additive; the reference "
+                        "schema is untouched)")
     p.add_argument("--mm-precision", default=None,
                    metavar="{HIGHEST,DEFAULT,BF16_BF16_F32_X3,...}",
                    help="matmul precision/algorithm for the banded engine "
@@ -114,6 +120,13 @@ def main(argv=None) -> int:
             args.mm_precision)
 
     cfg = WORKLOADS[args.workload]
+    fusion = None
+    if args.fusion_run:
+        from .fusion import FusionEngine
+        fusion = FusionEngine(args.fusion_run)
+        if fusion.factor != cfg.upsample_factor:
+            p.error(f"--fusion-run was trained at x{fusion.factor}; "
+                    f"workload {cfg.name} is x{cfg.upsample_factor}")
     if args.psf == "measured":
         if not args.psf_dir:
             p.error("--psf measured requires --psf-dir")
@@ -141,7 +154,7 @@ def main(argv=None) -> int:
                                  batch_reps=args.batch_reps,
                                  engine=args.engine,
                                  max_batch=args.max_batch,
-                                 sp=args.sp)
+                                 sp=args.sp, fusion=fusion)
         print(f"{total} unit(s) processed in {time.time() - t0:.1f}s")
         return 0
 
@@ -171,7 +184,7 @@ def main(argv=None) -> int:
                                 batch_reps=args.batch_reps,
                                 engine=args.engine,
                                 max_batch=args.max_batch,
-                                sp=args.sp)
+                                sp=args.sp, fusion=fusion)
 
     seen: dict = {}  # sdir -> listing fingerprint at last successful pass
     total = polls = 0

@@ -190,6 +190,56 @@ class TestBurstFusionModel:
         assert float(sr.min()) >= 0.0 and float(sr.max()) <= 255.0
 
 
+class TestFusionProductSurface:
+    def test_sr_run_fusion_flag(self, tmp_path):
+        """sr.run --fusion-run drives the learned engine on a real session
+        layout: fusion.png + forward-model MSE land alongside the untouched
+        classical artifact schema."""
+        import scipy.ndimage as ndi
+
+        from enph459_super_resolution_tpu.data.io import save_png
+        from enph459_super_resolution_tpu.sr.fusion import FusionEngine
+        from enph459_super_resolution_tpu.sr.run import main as sr_main
+        from enph459_super_resolution_tpu.train.burst import train_burst
+
+        run_dir = str(tmp_path / "burst_run")
+        train_burst(steps=2, batch=2, lr_patch=12, pool_images=10,
+                    out_dir=run_dir, eval_every=2, ckpt_every=2, seed=0)
+
+        rng = np.random.default_rng(0)
+        scene = ndi.gaussian_filter(rng.uniform(0, 255, (48, 64)), 1.2)
+        sdir = tmp_path / "data" / "tiny_session"
+        sdir.mkdir(parents=True)
+        for ci in range(4):
+            for ri in range(2):
+                img = np.clip(scene + rng.normal(0, 1, scene.shape),
+                              0, 255).astype(np.uint8)
+                save_png(img, str(sdir / f"corner{ci}_rep{ri:02d}.png"))
+
+        out = str(tmp_path / "results")
+        assert sr_main(["--workload", "mono_barcodes",
+                        "--data-dir", str(tmp_path / "data"),
+                        "--output-dir", out, "--no-figures",
+                        "--fusion-run", run_dir]) == 0
+        rep0 = tmp_path / "results" / "tiny_session" / "rep0"
+        for f in ("native_2x.png", "SAA.png", "SAA_IBP.png", "fusion.png",
+                  "metrics.json", "done.flag"):
+            assert (rep0 / f).exists(), f
+        metrics = json.loads((rep0 / "metrics.json").read_text())
+        assert np.isfinite(metrics["fusion_forward_mse"])
+        assert "fusion" in metrics["timings_s"]
+        # a freshly-initialized net IS shift-and-add; reprojecting SAA
+        # through the forward model lands in the classical solve's error
+        # ballpark (same order as the IBP start, well above its end)
+        assert metrics["fusion_forward_mse"] > metrics["final_mse"]
+
+        eng = FusionEngine(run_dir)
+        with pytest.raises(ValueError):
+            eng.check(3, 2)
+        with pytest.raises(ValueError):
+            eng.check(4, 4)
+
+
 class TestBurstTraining:
     def test_train_burst_smoke(self, tmp_path):
         """Tiny end-to-end run: trains, checkpoints, evaluates all four
