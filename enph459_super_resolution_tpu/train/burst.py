@@ -93,9 +93,10 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
 
     Each scene is the HR ground truth; its burst is simulated with TRUE
     shifts = nominal + jitter and read noise, then every engine gets only
-    the NOMINAL shifts (the field condition).  Returns mean PSNR (border-
-    shaved) for bicubic LR-mean upsample / SAA / IBP / fusion.
+    the NOMINAL shifts (the field condition).  Returns mean PSNR and SSIM
+    (border-shaved) for bicubic LR-mean upsample / SAA / IBP / fusion.
     """
+    from ..eval.metrics import ssim as ssim_fn
     from ..ops import spline_zoom
     from ..sr import classical
 
@@ -135,8 +136,11 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
         if apply_fn is not None:
             rows["fusion"] = fuse(apply_fn, params, lr, nom, factor)
         for name, img in rows.items():
-            sums.setdefault(name, []).append(psnr(img, hr_true))
-    out = {f"psnr_{k}": float(np.mean(v)) for k, v in sums.items()}
+            sums.setdefault(f"psnr_{name}", []).append(psnr(img, hr_true))
+            sums.setdefault(f"ssim_{name}", []).append(float(ssim_fn(
+                jnp.asarray(img)[shave:-shave, shave:-shave],
+                hr_true[shave:-shave, shave:-shave])))
+    out = {k: float(np.mean(v)) for k, v in sums.items()}
     out.update(noise_sigma=noise_sigma, jitter_sigma=jitter_sigma,
                n_scenes=len(scenes))
     return out
