@@ -95,7 +95,14 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
     shifts = nominal + jitter and read noise, then every engine gets only
     the NOMINAL shifts (the field condition).  Returns mean PSNR and SSIM
     (border-shaved) for bicubic LR-mean upsample / SAA / IBP / fusion.
+
+    The whole per-scene evaluation — burst simulation, all four engines,
+    both metrics — is ONE jitted graph with a single small fetch per
+    scene: on the tunneled backend an eager classical solve pays the
+    ~0.5 s dispatch RTT hundreds of times per scene (PERF_NOTES).
     """
+    import functools
+
     from ..eval.metrics import ssim as ssim_fn
     from ..ops import spline_zoom
     from ..sr import classical
@@ -107,11 +114,28 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
     nominal_static = tuple((float(dy), float(dx)) for dy, dx in nominal)
     key = jax.random.PRNGKey(seed)
 
-    def psnr(a, b):
-        a = np.asarray(a, np.float64)[shave:-shave, shave:-shave]
-        b = np.asarray(b, np.float64)[shave:-shave, shave:-shave]
-        mse = np.mean((a - b) ** 2)
-        return float(10 * np.log10(255.0 ** 2 / mse))
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_scene(params_arg, hr_true, k):
+        kj, kn = jax.random.split(k)
+        true = nom + jitter_sigma * jax.random.normal(kj, nom.shape)
+        lr = simulate_burst(hr_true, true, psf_j, factor, noise_sigma, kn)
+        rows = {"bicubic": jnp.clip(
+            spline_zoom(jnp.mean(lr, axis=0), factor), 0, 255)}
+        if classical:
+            saa = jnp.clip(
+                classical.shift_and_add(lr, nominal_static, factor), 0, 255)
+            rows["saa"] = saa
+            rows["ibp"], _ = classical.ibp(lr, nominal_static, psf_j, saa,
+                                           factor, n_iter=n_iter)
+        if apply_fn is not None:
+            rows["fusion"] = fuse(apply_fn, params_arg, lr, nom, factor)
+        sl = slice(shave, -shave)
+        out = {}
+        for name, img in rows.items():
+            mse = jnp.mean((img[sl, sl] - hr_true[sl, sl]) ** 2)
+            out[f"psnr_{name}"] = 10.0 * jnp.log10(255.0 ** 2 / mse)
+            out[f"ssim_{name}"] = ssim_fn(img[sl, sl], hr_true[sl, sl])
+        return out
 
     sums: dict = {}
     for scene in scenes:
@@ -120,26 +144,10 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
             hr_true = hr_true.mean(-1)
         h, w = hr_true.shape
         hr_true = hr_true[: h - h % factor, : w - w % factor]
-        key, kj, kn = jax.random.split(key, 3)
-        true = nom + jitter_sigma * jax.random.normal(kj, nom.shape)
-        lr = simulate_burst(hr_true, true, psf_j, factor, noise_sigma, kn)
-        rows = {}
-        rows["bicubic"] = jnp.clip(
-            spline_zoom(jnp.mean(lr, axis=0), factor), 0, 255)
-        if classical:
-            saa = classical.shift_and_add(lr, nominal_static, factor)
-            rows["saa"] = jnp.clip(saa, 0, 255)
-            hr_ibp, _ = classical.ibp(lr, nominal_static, psf_j,
-                                      jnp.clip(saa, 0, 255), factor,
-                                      n_iter=n_iter)
-            rows["ibp"] = hr_ibp
-        if apply_fn is not None:
-            rows["fusion"] = fuse(apply_fn, params, lr, nom, factor)
-        for name, img in rows.items():
-            sums.setdefault(f"psnr_{name}", []).append(psnr(img, hr_true))
-            sums.setdefault(f"ssim_{name}", []).append(float(ssim_fn(
-                jnp.asarray(img)[shave:-shave, shave:-shave],
-                hr_true[shave:-shave, shave:-shave])))
+        key, sub = jax.random.split(key)
+        scene_out = jax.device_get(eval_scene(params, hr_true, sub))
+        for name, v in scene_out.items():
+            sums.setdefault(name, []).append(float(v))
     out = {k: float(np.mean(v)) for k, v in sums.items()}
     out.update(noise_sigma=noise_sigma, jitter_sigma=jitter_sigma,
                n_scenes=len(scenes))
