@@ -272,6 +272,41 @@ def main() -> int:
     t_edsr_b = float(np.median(edsr_b_times))
     edsr_batch_mpix = nb_edsr * edsr_out_mpix / t_edsr_b
 
+    # Learned burst engine serving throughput (sr.run --fusion-run):
+    # register (bicubic zoom + traced Keys shift) + BurstFusion trunk on
+    # the classical headline geometry, reps rolled into one jitted
+    # fori_loop (single dispatch + fetch, same protocol as EDSR above).
+    # Weights are fresh-initialized — the conv trunk's throughput does not
+    # depend on the values.
+    from enph459_super_resolution_tpu.models import create_model
+    from enph459_super_resolution_tpu.sr.fusion import (NOMINAL_SHIFTS_4,
+                                                        fuse)
+
+    bf_h, bf_w = (h, w) if not args.smoke else (128, 160)
+    bmodel = create_model("burstfusion", n_frames=4)
+    burst_lr = jax.device_put(
+        rng.uniform(0, 255, (4, bf_h, bf_w)).astype(np.float32), dev)
+    bparams = bmodel.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 64, 64, 4), jnp.float32))
+    nom = jnp.asarray(NOMINAL_SHIFTS_4, jnp.float32)
+    nrep_bf = 2 if args.smoke else 8
+
+    @jax.jit
+    def burst_loop(p, stack):
+        def body(i, v):
+            sr = fuse(bmodel.apply, p, v, nom, 2)
+            return v + 1e-12 * sr[None, ::2, ::2]
+        return jax.lax.fori_loop(0, nrep_bf, body, stack)
+
+    float(np.asarray(burst_loop(bparams, burst_lr)).ravel()[0])  # compile
+    bf_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(burst_loop(bparams, burst_lr)).ravel()[0])
+        bf_times.append((time.perf_counter() - t0) / nrep_bf)
+    t_bf = float(np.median(bf_times))
+    bf_mpix = (bf_h * 2) * (bf_w * 2) / 1e6 / t_bf
+
     # CPU reference baseline (cached)
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BASELINE_CPU.json")
@@ -309,6 +344,8 @@ def main() -> int:
         "edsr_x4_infer_mpix_per_s": round(edsr_mpix, 2),
         "edsr_x4_infer_s_per_image": round(t_edsr, 4),
         "edsr_x4_batch%d_mpix_per_s" % nb_edsr: round(edsr_batch_mpix, 2),
+        "burst_fusion_mpix_per_s": round(bf_mpix, 2),
+        "burst_fusion_s_per_burst": round(t_bf, 4),
         "smoke": bool(args.smoke),
     }
     print(json.dumps(result))
