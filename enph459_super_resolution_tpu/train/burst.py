@@ -268,22 +268,20 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
 
 
 def load_burst_run(run_dir: str):
-    """Restore a trained burst run -> (apply_fn, ema_params, config)."""
-    import orbax.checkpoint as ocp
+    """Restore a trained burst run -> (apply_fn, ema_params, config).
 
+    Platform-portable (chip-trained runs load on CPU and vice versa):
+    weights restore as numpy via :func:`~.state.restore_checkpoint_numpy`.
+    """
     from ..models import create_model
+    from .state import restore_checkpoint_numpy
 
     with open(os.path.join(run_dir, "config.json")) as fp:
         cfg = json.load(fp)
     model = create_model("burstfusion", n_frames=cfg["frames"],
                          n_feats=cfg["n_feats"],
                          n_resblocks=cfg["n_resblocks"])
-    mngr = ocp.CheckpointManager(
-        os.path.abspath(os.path.join(run_dir, "ckpt")))
-    latest = mngr.latest_step()
-    if latest is None:
-        raise FileNotFoundError(f"no checkpoint under {run_dir}/ckpt")
-    tree = mngr.restore(latest)  # raw pytree (same protocol as evaluate.py)
+    tree, _ = restore_checkpoint_numpy(os.path.join(run_dir, "ckpt"))
     ema = jax.tree.map(jnp.asarray, tree["ema_params"])
     return model.apply, ema, cfg
 

@@ -30,14 +30,11 @@ def load_run_weights(run_dir, raw=False):
     TrainState or GAN fine-tune (generator under 'g'), EMA by default."""
     import jax
     import numpy as np
-    import orbax.checkpoint as ocp
 
-    ckpt_dir = os.path.abspath(os.path.join(run_dir, "ckpt"))
-    mngr = ocp.CheckpointManager(ckpt_dir)
-    step = mngr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
-    tree = mngr.restore(step)
+    from .state import restore_checkpoint_numpy
+
+    tree, step = restore_checkpoint_numpy(
+        os.path.join(run_dir, "ckpt"))
     if "g" in tree:
         tree = tree["g"]
     weights = tree["params"] if raw else tree["ema_params"]

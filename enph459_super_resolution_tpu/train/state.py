@@ -42,6 +42,35 @@ def ema_update(ema, new, decay: float):
     return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema, new)
 
 
+def restore_checkpoint_numpy(ckpt_dir: str, step: Optional[int] = None):
+    """Restore an orbax checkpoint as a plain numpy pytree -> (tree, step).
+
+    Platform-portable: a template-free ``CheckpointManager.restore`` puts
+    arrays back on the devices recorded at save time, so a chip-trained
+    checkpoint refuses to load on a CPU-only host ("Device TPU ... was not
+    found").  Restoring against the checkpoint's own metadata tree with
+    ``RestoreArgs(restore_type=np.ndarray)`` ignores the saved shardings
+    entirely — weights land as host numpy, usable on any backend.
+    """
+    import os
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    if step is None:
+        mngr = ocp.CheckpointManager(ckpt_dir)
+        step = mngr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = os.path.join(ckpt_dir, str(int(step)), "default")
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata.tree
+    args = jax.tree.map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+    return ckptr.restore(path, restore_args=args), int(step)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     learning_rate: float = 1e-4
