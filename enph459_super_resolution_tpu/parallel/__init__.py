@@ -1,4 +1,5 @@
-"""Mesh parallelism: DP/TP shardings, tiled halo-exchange spatial compute."""
+"""Mesh parallelism: DP/TP shardings, tiled halo-exchange spatial compute,
+GPipe-style pipeline parallelism."""
 
 from .mesh import (
     batch_sharding,
@@ -8,6 +9,7 @@ from .mesh import (
     shard_params_tp,
     shard_train_step,
 )
+from .pipeline import pipeline_apply, shard_params_pp, stack_stages
 from .tiled import halo_exchange, sharded_ibp, solve_sharded, tiled_apply
 
 __all__ = [
@@ -15,4 +17,5 @@ __all__ = [
     "shard_params_tp",
     "shard_train_step", "halo_exchange", "sharded_ibp", "solve_sharded",
     "tiled_apply",
+    "pipeline_apply", "shard_params_pp", "stack_stages",
 ]
