@@ -1,5 +1,5 @@
 """Mesh parallelism: DP/TP shardings, tiled halo-exchange spatial compute,
-GPipe-style pipeline parallelism."""
+GPipe-style pipeline parallelism, expert-sharded MoE."""
 
 from .mesh import (
     batch_sharding,
@@ -9,6 +9,7 @@ from .mesh import (
     shard_params_tp,
     shard_train_step,
 )
+from .moe import moe_apply, shard_params_ep, stack_experts
 from .pipeline import pipeline_apply, shard_params_pp, stack_stages
 from .tiled import halo_exchange, sharded_ibp, solve_sharded, tiled_apply
 
@@ -18,4 +19,5 @@ __all__ = [
     "shard_train_step", "halo_exchange", "sharded_ibp", "solve_sharded",
     "tiled_apply",
     "pipeline_apply", "shard_params_pp", "stack_stages",
+    "moe_apply", "shard_params_ep", "stack_experts",
 ]
