@@ -100,9 +100,32 @@ class FSRCNN(nn.Module):
             self.rgb_range
 
 
+class _TrunkBody(nn.Module):
+    """nn.scan body for the stacked EDSR trunk (one resblock per slice)."""
+
+    features: int
+    res_scale: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, _):
+        return ResBlock(self.features, self.res_scale,
+                        dtype=self.dtype)(x), None
+
+
 class EDSR(nn.Module):
     """EDSR-baseline: 16 residual blocks, 64 features, res_scale 1.0
-    (paper-large would be 32 x 256 with res_scale 0.1)."""
+    (paper-large would be 32 x 256 with res_scale 0.1).
+
+    ``scan_trunk=True`` switches the trunk to an ``nn.scan`` over one
+    shared ResBlock definition, stacking the per-block params on a leading
+    ``[n_resblocks, ...]`` axis — mathematically identical forward, but the
+    stacked layout is what pipeline parallelism shards over a ``pp`` mesh
+    axis (parallel/pipeline.py::make_pipelined_edsr_apply).  Named
+    submodules (head/trunk/tail_conv/upsampler/out_conv) make the subtrees
+    addressable; checkpoints are NOT interchangeable with the default
+    unrolled layout.
+    """
 
     scale: int = 4
     channels: int = 3
@@ -112,22 +135,39 @@ class EDSR(nn.Module):
     rgb_range: float = 255.0
     remat: bool = False  # jax.checkpoint each resblock: trades ~30% extra
     # FLOPs for O(1) trunk activation memory in training (HBM headroom)
+    scan_trunk: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = MeanShift(sign=-1, scale=self.rgb_range)(x)
         x = x.astype(self.dtype)
-        x = head = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
-        block = ResBlock
-        if self.remat:
-            block = nn.remat(ResBlock)
-        for _ in range(self.n_resblocks):
-            x = block(self.n_feats, self.res_scale, dtype=self.dtype)(x)
-        x = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
-        x = x + head
-        x = Upsampler(self.scale, self.n_feats, dtype=self.dtype)(x)
-        x = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(x)
+        if self.scan_trunk:
+            x = head = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype,
+                               name="head")(x)
+            trunk = nn.scan(_TrunkBody, variable_axes={"params": 0},
+                            split_rngs={"params": True},
+                            length=self.n_resblocks)(
+                self.n_feats, self.res_scale, self.dtype, name="trunk")
+            x, _ = trunk(x, None)
+            x = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype,
+                        name="tail_conv")(x)
+            x = x + head
+            x = Upsampler(self.scale, self.n_feats, dtype=self.dtype,
+                          name="upsampler")(x)
+            x = nn.Conv(self.channels, (3, 3), dtype=self.dtype,
+                        name="out_conv")(x)
+        else:
+            x = head = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
+            block = ResBlock
+            if self.remat:
+                block = nn.remat(ResBlock)
+            for _ in range(self.n_resblocks):
+                x = block(self.n_feats, self.res_scale, dtype=self.dtype)(x)
+            x = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
+            x = x + head
+            x = Upsampler(self.scale, self.n_feats, dtype=self.dtype)(x)
+            x = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(x)
         x = x.astype(jnp.float32)
         return MeanShift(sign=+1, scale=self.rgb_range)(x)
 

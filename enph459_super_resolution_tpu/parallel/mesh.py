@@ -37,11 +37,11 @@ def make_mesh(axes: Optional[Dict[str, int]] = None,
 
 
 def parse_mesh_spec(spec: str) -> Dict[str, int]:
-    """Parse a CLI mesh spec like ``"dp=2,tp=2"`` or ``"dp=2,sp=2,tp=2"``.
+    """Parse a CLI mesh spec like ``"dp=2,tp=2"`` or ``"dp=2,pp=4"``.
 
-    Axis names must come from {dp, sp, tp}; sizes are positive ints.  The
-    product must match the device count at :func:`make_mesh` time (checked
-    there).
+    Axis names must come from {dp, sp, tp, pp, ep}; sizes are positive
+    ints.  The product must match the device count at :func:`make_mesh`
+    time (checked there).
     """
     axes: Dict[str, int] = {}
     for part in spec.replace("x", ",").split(","):
@@ -52,8 +52,9 @@ def parse_mesh_spec(spec: str) -> Dict[str, int]:
             raise ValueError(f"mesh spec entry {part!r} is not name=size")
         name, _, size = part.partition("=")
         name = name.strip()
-        if name not in ("dp", "sp", "tp"):
-            raise ValueError(f"unknown mesh axis {name!r} (use dp/sp/tp)")
+        if name not in ("dp", "sp", "tp", "pp", "ep"):
+            raise ValueError(
+                f"unknown mesh axis {name!r} (use dp/sp/tp/pp/ep)")
         if name in axes:
             raise ValueError(f"duplicate mesh axis {name!r}")
         axes[name] = int(size)

@@ -104,6 +104,83 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, *, mesh: Mesh,
     return out.reshape(b, *x.shape[1:])
 
 
+def make_pipelined_edsr_apply(model, mesh: Mesh, *, axis: str = "pp",
+                              dp_axis: str | None = None,
+                              n_micro: int | None = None):
+    """Pipelined forward for an ``EDSR(scan_trunk=True)`` model.
+
+    Returns ``apply(variables, x)`` computing the same function as
+    ``model.apply`` (parity-tested) but with the scanned trunk's stacked
+    ``[n_resblocks, ...]`` params regrouped into ``pp`` stages of
+    ``n_resblocks/pp`` blocks and run as a GPipe pipeline over ``axis``
+    (:func:`pipeline_apply`).  Head/tail/upsampler stay replicated — they
+    are a few percent of the FLOPs; the deep trunk is what a pipeline
+    buys memory/scale headroom for.  Intended for training: the returned
+    fn is what ``train.loop --mesh "dp=..,pp=.."`` feeds to the train
+    step; single-device eval keeps using ``model.apply`` on the SAME
+    params (the scan layout makes both views of one pytree).
+    """
+    import flax.linen as nn
+
+    from ..models.common import DIV2K_RGB_MEAN, ResBlock, Upsampler
+
+    if not getattr(model, "scan_trunk", False):
+        raise ValueError("pipelined apply needs EDSR(scan_trunk=True)")
+    pp = mesh.shape[axis]
+    if model.n_resblocks % pp != 0:
+        raise ValueError(
+            f"n_resblocks={model.n_resblocks} not divisible by pp={pp}")
+    gsize = model.n_resblocks // pp
+    block = ResBlock(model.n_feats, model.res_scale, dtype=model.dtype)
+    head = nn.Conv(model.n_feats, (3, 3), dtype=model.dtype)
+    tail = nn.Conv(model.n_feats, (3, 3), dtype=model.dtype)
+    ups = Upsampler(model.scale, model.n_feats, dtype=model.dtype)
+    out = nn.Conv(model.channels, (3, 3), dtype=model.dtype)
+    mean = jnp.asarray(DIV2K_RGB_MEAN, jnp.float32) * model.rgb_range
+    if model.channels != len(DIV2K_RGB_MEAN):
+        mean = jnp.mean(mean, keepdims=True)
+
+    def stage_fn(stage_params, u):
+        def body(c, p):
+            return block.apply({"params": p}, c), None
+
+        u, _ = jax.lax.scan(body, u, stage_params)
+        return u
+
+    def apply(variables, x):
+        p = variables["params"]
+        x = (x - mean).astype(model.dtype)
+        x = h = head.apply({"params": p["head"]}, x)
+        stacked = jax.tree.map(
+            lambda a: a.reshape(pp, gsize, *a.shape[1:]),
+            p["trunk"]["ResBlock_0"])
+        x = pipeline_apply(stage_fn, stacked, x, mesh=mesh, axis=axis,
+                           n_micro=n_micro, dp_axis=dp_axis)
+        x = tail.apply({"params": p["tail_conv"]}, x)
+        x = x + h
+        x = ups.apply({"params": p["upsampler"]}, x)
+        x = out.apply({"params": p["out_conv"]}, x)
+        return x.astype(jnp.float32) + mean
+
+    return apply
+
+
+def shard_edsr_pp_params(variables, mesh: Mesh, axis: str = "pp"):
+    """Place an ``EDSR(scan_trunk=True)`` param tree for pipeline
+    parallelism: the scanned trunk's stacked leaves get their leading
+    ``[n_resblocks]`` dim sharded over ``axis`` (contiguous block groups —
+    matching :func:`make_pipelined_edsr_apply`'s ``[pp, n/pp]`` regroup),
+    everything else replicated."""
+
+    def put(path, a):
+        on_trunk = any(getattr(k, "key", None) == "trunk" for k in path)
+        spec = (P(axis, *([None] * (a.ndim - 1))) if on_trunk and a.ndim >= 1
+                else P())
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, variables)
+
+
 def shard_params_pp(stacked_params, mesh: Mesh, axis: str = "pp"):
     """Place stacked stage params with the leading dim sharded over
     ``axis`` (one stage per pp rank), everything else replicated."""

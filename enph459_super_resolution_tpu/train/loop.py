@@ -56,22 +56,53 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
           mesh_spec: Optional[str] = None) -> dict:
     """Train a zoo model; returns the final eval metrics.
 
-    ``mesh_spec`` (e.g. ``"dp=2,tp=2"`` or ``"dp=2,sp=2,tp=2"``) trains
-    over an explicit device mesh: batch sharded over dp (and patch rows
-    over sp when given), params TP-sharded over tp via
-    :func:`~..parallel.shard_params_tp`.  Default (None): dp over all
-    devices when more than one is visible.
+    ``mesh_spec`` (e.g. ``"dp=2,tp=2"``, ``"dp=2,sp=2,tp=2"`` or
+    ``"dp=2,pp=4"``) trains over an explicit device mesh: batch sharded
+    over dp (and patch rows over sp when given), params TP-sharded over tp
+    via :func:`~..parallel.shard_params_tp`; ``pp`` (EDSR only) switches
+    the model to the stacked scan-trunk layout and trains through the
+    GPipe pipeline (:func:`~..parallel.pipeline.make_pipelined_edsr_apply`;
+    batch must divide by the pp-depth microbatching).  Default (None): dp
+    over all devices when more than one is visible.
     """
     from ..models import VGGStyleDiscriminator, create_model
     from ..parallel import (make_mesh, parse_mesh_spec, shard_params_tp,
                             shard_train_step)
+    from ..parallel.pipeline import (make_pipelined_edsr_apply,
+                                     shard_edsr_pp_params)
     from .data import (POOL_KINDS, PatchConfig, evaluate_sr,
                        image_pool_from_dir, make_patch_sampler)
     from .state import (GANBalance, GANTrainState, TrainConfig, TrainState,
                         make_gan_train_step, make_optimizer, make_train_step)
 
     os.makedirs(out_dir, exist_ok=True)
+
+    # device mesh: explicit spec > implicit all-device dp > single device
+    # (parsed before model creation: a pp axis changes the model's trunk
+    # param layout)
+    mesh = None
+    mesh_axes: dict = {}
+    if mesh_spec:
+        mesh_axes = parse_mesh_spec(mesh_spec)
+        n_mesh = 1
+        for v in mesh_axes.values():
+            n_mesh *= v
+        mesh = make_mesh(mesh_axes, devices=jax.devices()[:n_mesh])
+    elif dp and len(jax.devices()) > 1:
+        mesh_axes = {"dp": len(jax.devices())}
+        mesh = make_mesh(mesh_axes)
+    tp_on = mesh is not None and mesh_axes.get("tp", 1) > 1
+    pp_on = mesh is not None and mesh_axes.get("pp", 1) > 1
+    if pp_on and model_name != "edsr":
+        raise ValueError("pipeline parallelism (pp mesh axis) is wired for "
+                         "--model edsr (scan-trunk layout)")
+    if pp_on and gan:
+        raise ValueError("pp + --gan is not supported (pipeline the "
+                         "pretrain, fine-tune on dp/tp)")
+
     kwargs = dict(model_kwargs or {})
+    if pp_on:
+        kwargs.setdefault("scan_trunk", True)
     if model_name == "srcnn":
         kwargs.setdefault("channels", channels)
         model = create_model(model_name, **kwargs)
@@ -102,22 +133,19 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         init_in = lr0[:1]
     params = model.init(jax.random.PRNGKey(seed), init_in)
 
-    # device mesh: explicit spec > implicit all-device dp > single device
-    mesh = None
-    mesh_axes: dict = {}
-    if mesh_spec:
-        mesh_axes = parse_mesh_spec(mesh_spec)
-        n_mesh = 1
-        for v in mesh_axes.values():
-            n_mesh *= v
-        mesh = make_mesh(mesh_axes, devices=jax.devices()[:n_mesh])
-    elif dp and len(jax.devices()) > 1:
-        mesh_axes = {"dp": len(jax.devices())}
-        mesh = make_mesh(mesh_axes)
-    tp_on = mesh is not None and mesh_axes.get("tp", 1) > 1
+    # train-time forward: the pipelined apply when a pp axis is present
+    # (eval keeps model.apply — same stacked params, sequential trunk)
+    train_apply = apply_fn
+    if pp_on:
+        train_apply = make_pipelined_edsr_apply(
+            model, mesh, dp_axis="dp" if mesh_axes.get("dp", 1) > 1 else None)
 
     def maybe_tp(p):
-        return shard_params_tp(p, mesh, "tp") if tp_on else p
+        if tp_on:
+            p = shard_params_tp(p, mesh, "tp")
+        if pp_on:
+            p = shard_edsr_pp_params(p, mesh)
+        return p
 
     params = maybe_tp(params)
 
@@ -182,7 +210,7 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         state = TrainState.create(params, tx)
         if init_ema is not None:
             state = state.replace(ema_params=init_ema)
-        step_fn = make_train_step(apply_fn, tx, cfg)
+        step_fn = make_train_step(train_apply, tx, cfg)
 
     start_step = 0
     latest = mngr.latest_step()
@@ -340,9 +368,11 @@ def main(argv=None) -> int:
                         "tunneled backends; use a divisor of the log/ckpt/"
                         "eval cadences (e.g. 10, 25, 50)")
     p.add_argument("--mesh", default=None, metavar="SPEC",
-                   help='explicit device mesh, e.g. "dp=2,tp=2" or '
-                        '"dp=2,sp=2,tp=2": batch over dp, patch rows over '
-                        'sp, conv feature dims over tp (default: dp over '
+                   help='explicit device mesh, e.g. "dp=2,tp=2", '
+                        '"dp=2,sp=2,tp=2" or "dp=2,pp=4": batch over dp, '
+                        'patch rows over sp, conv feature dims over tp, '
+                        'EDSR trunk stages pipelined over pp (default: dp '
+                        'over '
                         'all visible devices)')
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--platform", default=None)

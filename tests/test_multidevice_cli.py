@@ -20,8 +20,9 @@ def test_parse_mesh_spec():
     assert parse_mesh_spec("dp=2,tp=2") == {"dp": 2, "tp": 2}
     assert parse_mesh_spec("dp=2 x sp=2 x tp=2") == {"dp": 2, "sp": 2,
                                                      "tp": 2}
+    assert parse_mesh_spec("dp=2,pp=4") == {"dp": 2, "pp": 4}
     with pytest.raises(ValueError):
-        parse_mesh_spec("pp=2")
+        parse_mesh_spec("cp=2")
     with pytest.raises(ValueError):
         parse_mesh_spec("dp=2,dp=4")
     with pytest.raises(ValueError):
@@ -104,3 +105,23 @@ def test_train_mesh_flag_matches_single_device(tmp_path):
     single = losses(str(tmp_path / "r1"), None)
     meshed = losses(str(tmp_path / "r2"), "dp=2,tp=2")
     np.testing.assert_allclose(meshed, single, rtol=2e-4)
+
+
+def test_train_mesh_flag_pp_matches_single_device(tmp_path):
+    """train.loop --mesh dp=2,pp=4 (EDSR scan-trunk pipeline): the loss
+    trajectory must match the single-device run on the same stacked-layout
+    model to float tolerance."""
+    from enph459_super_resolution_tpu.train.loop import train
+
+    def losses(out, spec):
+        train(model_name="edsr", scale=2, channels=3, steps=4, batch=8,
+              lr_patch=12, eval_every=4, ckpt_every=4, out_dir=out,
+              pool_images=4, dp=False, mesh_spec=spec, resume=False,
+              model_kwargs={"n_resblocks": 4, "n_feats": 8,
+                            "scan_trunk": True})
+        return [json.loads(l)["loss"]
+                for l in open(os.path.join(out, "metrics.jsonl"))]
+
+    single = losses(str(tmp_path / "r1"), None)
+    piped = losses(str(tmp_path / "r2"), "dp=2,pp=4")
+    np.testing.assert_allclose(piped, single, rtol=2e-4)

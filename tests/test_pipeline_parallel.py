@@ -145,3 +145,26 @@ def test_pipeline_trains_a_split_model():
     l0, params = sgd(params, x, y)
     l1, params = sgd(params, x, y)
     assert np.isfinite(float(l0)) and float(l1) < float(l0)
+
+
+def test_pipelined_edsr_apply_matches_model_apply():
+    """make_pipelined_edsr_apply (the train.loop --mesh pp forward) computes
+    the same function as EDSR(scan_trunk=True).apply on the same params."""
+    from enph459_super_resolution_tpu.models import EDSR
+    from enph459_super_resolution_tpu.parallel.pipeline import (
+        make_pipelined_edsr_apply,
+        shard_edsr_pp_params,
+    )
+
+    mesh = make_mesh({"dp": 2, "pp": 4}, devices=jax.devices()[:8])
+    model = EDSR(scale=2, channels=3, n_resblocks=8, n_feats=8,
+                 scan_trunk=True)
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 255, (8, 6, 6, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    want = model.apply(params, x)
+
+    apply = make_pipelined_edsr_apply(model, mesh, dp_axis="dp")
+    got = jax.jit(apply)(shard_edsr_pp_params(params, mesh), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-3)
