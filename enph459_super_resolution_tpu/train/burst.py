@@ -154,6 +154,23 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
     return out
 
 
+def _tile_pool(images, tile: int):
+    """Cut HWC images into non-overlapping ``tile`` x ``tile`` patches —
+    turns a handful of large in-domain images (e.g. a session's own HR
+    reconstructions) into a uniform training pool (ZSSR-style internal
+    learning)."""
+    tiles = []
+    for img in images:
+        h, w = img.shape[:2]
+        for y in range(0, h - tile + 1, tile):
+            for x in range(0, w - tile + 1, tile):
+                tiles.append(np.ascontiguousarray(
+                    img[y:y + tile, x:x + tile]))
+    if not tiles:
+        raise ValueError(f"no {tile}x{tile} tiles fit the given images")
+    return tiles
+
+
 def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
                 frames: int = 4, factor: int = 2, n_feats: int = 48,
                 n_resblocks: int = 6, noise: float = 2.0,
@@ -162,8 +179,16 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
                 pool_kind: str = "synthetic", pool_images: int = 64,
                 seed: int = 0, eval_every: int = 2000,
                 ckpt_every: int = 1000, resume: bool = True,
-                margin_lr: int = 6) -> dict:
-    """Train BurstFusion on simulated bursts; returns final eval metrics."""
+                margin_lr: int = 6, data_dir: Optional[str] = None,
+                tile: int = 128) -> dict:
+    """Train BurstFusion on simulated bursts; returns final eval metrics.
+
+    ``data_dir`` switches the scene pool from procedural scenes to tiles
+    cut from real images in that directory — the field-adaptation recipe:
+    point it at a session's own HR reconstructions (e.g. its SAA_IBP
+    outputs) to adapt the net to the deployed scene/sensor statistics,
+    then re-run ``sr.run --fusion-run`` on the session.
+    """
     import orbax.checkpoint as ocp
 
     from ..models import create_model
@@ -176,9 +201,17 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
         raise ValueError("v1 supports the 4-corner pattern; got "
                          f"frames={frames}")
     os.makedirs(out_dir, exist_ok=True)
-    size = max(lr_patch * factor + 32, 192)
-    pool = POOL_KINDS[pool_kind](n_images=pool_images, channels=1,
-                                 seed=seed, size=size)
+    if data_dir:
+        from .data import image_pool_from_dir
+
+        tile = max(tile, (lr_patch + 2 * margin_lr) * factor)
+        pool = _tile_pool(image_pool_from_dir(data_dir, channels=1), tile)
+        np.random.default_rng(seed).shuffle(pool)
+        pool = pool[:pool_images]
+    else:
+        size = max(lr_patch * factor + 32, 192)
+        pool = POOL_KINDS[pool_kind](n_images=pool_images, channels=1,
+                                     seed=seed, size=size)
     n_eval = max(2, len(pool) // 8)
     eval_pool, train_pool = pool[:n_eval], pool[n_eval:]
     pool_arr = jnp.asarray(np.stack([p[..., 0] for p in train_pool]))
@@ -222,6 +255,7 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
                    n_feats=n_feats, n_resblocks=n_resblocks, noise=noise,
                    jitter=jitter, lr_patch=lr_patch, batch=batch,
                    steps=steps, pool=pool_kind, pool_images=pool_images,
+                   data_dir=data_dir, tile=(tile if data_dir else None),
                    loss=loss, learning_rate=learning_rate, seed=seed)
     with open(os.path.join(out_dir, "config.json"), "w") as fp:
         json.dump(run_cfg, fp, indent=2)
@@ -307,6 +341,14 @@ def main(argv=None) -> int:
     p.add_argument("--pool", default="synthetic",
                    choices=["synthetic", "natural", "edges"])
     p.add_argument("--pool-images", type=int, default=64)
+    p.add_argument("--data-dir", default=None,
+                   help="train on tiles cut from real images in this dir "
+                        "instead of a procedural pool (field adaptation: "
+                        "point at a session's HR reconstructions, then "
+                        "re-run sr.run --fusion-run)")
+    p.add_argument("--tile", type=int, default=128,
+                   help="tile side for --data-dir pools (raised to the "
+                        "training crop size if smaller)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=2000)
     p.add_argument("--ckpt-every", type=int, default=1000)
@@ -347,7 +389,8 @@ def main(argv=None) -> int:
                         pool_images=args.pool_images, seed=args.seed,
                         eval_every=args.eval_every,
                         ckpt_every=args.ckpt_every,
-                        resume=not args.no_resume)
+                        resume=not args.no_resume,
+                        data_dir=args.data_dir, tile=args.tile)
     print(json.dumps(final))
     return 0
 

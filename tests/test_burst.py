@@ -9,6 +9,7 @@ blur -> shift -> decimate forward model.
 """
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -273,3 +274,28 @@ class TestBurstTraining:
         # registration uses NOMINAL shifts while truth carries jitter:
         # the stack mean is still within a few counts of the target
         assert float(jnp.abs(stack.mean() - tgt.mean())) < 10.0
+
+
+def test_train_burst_data_dir_pool(tmp_path):
+    """--data-dir trains on tiles cut from real images (the field-adaptation
+    recipe): the pool comes from the checked-in HR fixture, training runs,
+    and config.json records the provenance."""
+    import json as _json
+
+    from enph459_super_resolution_tpu.train.burst import _tile_pool, train_burst
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "eval_hr")
+    run_dir = str(tmp_path / "field_run")
+    final = train_burst(steps=2, batch=2, lr_patch=12, pool_images=8,
+                        out_dir=run_dir, eval_every=2, ckpt_every=2,
+                        seed=0, data_dir=fixture, tile=64)
+    assert np.isfinite(final["psnr_fusion"])
+    cfg = _json.load(open(os.path.join(run_dir, "config.json")))
+    assert cfg["data_dir"] == fixture and cfg["tile"] == 64
+
+    # tiling invariants: uniform tiles, raised to the crop size when small
+    from enph459_super_resolution_tpu.train.data import image_pool_from_dir
+    tiles = _tile_pool(image_pool_from_dir(fixture, channels=1), 64)
+    assert all(t.shape == (64, 64, 1) for t in tiles)
+    with pytest.raises(ValueError):
+        _tile_pool(image_pool_from_dir(fixture, channels=1), 4096)
