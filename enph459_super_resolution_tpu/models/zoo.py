@@ -145,7 +145,8 @@ class EDSR(nn.Module):
         if self.scan_trunk:
             x = head = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype,
                                name="head")(x)
-            trunk = nn.scan(_TrunkBody, variable_axes={"params": 0},
+            body = nn.remat(_TrunkBody) if self.remat else _TrunkBody
+            trunk = nn.scan(body, variable_axes={"params": 0},
                             split_rngs={"params": True},
                             length=self.n_resblocks)(
                 self.n_feats, self.res_scale, self.dtype, name="trunk")
