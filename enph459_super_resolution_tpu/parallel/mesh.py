@@ -93,6 +93,18 @@ def shard_params_tp(params, mesh: Mesh, axis: str = "tp"):
         lambda x: jax.device_put(x, spec_for(x)), params)
 
 
+def shard_params_leading(stacked_params, mesh: Mesh, axis: str):
+    """Place a stacked param pytree with every leaf's LEADING dim sharded
+    over ``axis``, the rest replicated — the common layout for pipeline
+    stages ([pp, ...]) and MoE experts ([E, ...])."""
+
+    def put(a):
+        return jax.device_put(
+            a, NamedSharding(mesh, P(*([axis] + [None] * (a.ndim - 1)))))
+
+    return jax.tree.map(put, stacked_params)
+
+
 def shard_train_step(step_fn, mesh: Mesh, dp_axis: str = "dp",
                      sp_axis: Optional[str] = None):
     """Jit a ``step(state, lr, hr)`` with batch sharded over ``dp`` (and,

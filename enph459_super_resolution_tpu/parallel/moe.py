@@ -29,7 +29,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def moe_apply(expert_fn: Callable, stacked_params, gates, x, *, mesh: Mesh,
@@ -84,9 +84,6 @@ def stack_experts(expert_params):
 def shard_params_ep(stacked_params, mesh: Mesh, axis: str = "ep"):
     """Place stacked expert params with the leading dim sharded over
     ``axis`` (E/ep experts per rank), everything else replicated."""
+    from .mesh import shard_params_leading
 
-    def put(a):
-        return jax.device_put(
-            a, NamedSharding(mesh, P(*([axis] + [None] * (a.ndim - 1)))))
-
-    return jax.tree.map(put, stacked_params)
+    return shard_params_leading(stacked_params, mesh, axis)

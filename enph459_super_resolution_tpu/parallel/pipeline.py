@@ -69,6 +69,10 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, *, mesh: Mesh,
     if b % n_micro != 0:
         raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
     mb = b // n_micro
+    if dp_axis and mb % mesh.shape[dp_axis] != 0:
+        raise ValueError(f"microbatch {mb} (= batch {b} / n_micro "
+                         f"{n_micro}) not divisible by "
+                         f"{dp_axis}={mesh.shape[dp_axis]}")
     xm = x.reshape(n_micro, mb, *x.shape[1:])
     perm = [(d, d + 1) for d in range(pp - 1)]
 
@@ -184,9 +188,6 @@ def shard_edsr_pp_params(variables, mesh: Mesh, axis: str = "pp"):
 def shard_params_pp(stacked_params, mesh: Mesh, axis: str = "pp"):
     """Place stacked stage params with the leading dim sharded over
     ``axis`` (one stage per pp rank), everything else replicated."""
+    from .mesh import shard_params_leading
 
-    def put(a):
-        return jax.device_put(
-            a, NamedSharding(mesh, P(*([axis] + [None] * (a.ndim - 1)))))
-
-    return jax.tree.map(put, stacked_params)
+    return shard_params_leading(stacked_params, mesh, axis)

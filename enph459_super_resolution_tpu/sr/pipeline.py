@@ -125,9 +125,11 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
     if fusion is not None:
         fusion.check(int(frames.shape[0]), cfg.upsample_factor)
         with timer.stage("fusion"):
-            sr, fwd_mse = fusion(frames, session.shifts, psf)
+            sr, fwd_mse, fwd_mse_raw = fusion(frames, session.shifts, psf)
             result["fusion"] = np.asarray(sr)
             result["fusion_forward_mse"] = float(fwd_mse)
+            if fusion.refine:
+                result["fusion_forward_mse_raw"] = float(fwd_mse_raw)
 
     return _write_unit_artifacts(session, result, cfg, output_base, figures,
                                  timer)
@@ -183,6 +185,8 @@ def _write_unit_artifacts(session: SessionData, result: Dict,
     }
     if "fusion_forward_mse" in result:
         metrics["fusion_forward_mse"] = result["fusion_forward_mse"]
+    if "fusion_forward_mse_raw" in result:
+        metrics["fusion_forward_mse_raw"] = result["fusion_forward_mse_raw"]
     with open(os.path.join(out_dir, "metrics.json"), "w") as fp:
         json.dump(metrics, fp, indent=2)
 

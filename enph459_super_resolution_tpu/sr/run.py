@@ -103,6 +103,13 @@ def main(argv=None) -> int:
                         "fusion.png and its forward-model MSE alongside the "
                         "classical artifacts (additive; the reference "
                         "schema is untouched)")
+    p.add_argument("--fusion-refine", type=int, default=0, metavar="N",
+                   help="append N data-consistency (Landweber/IBP) "
+                        "iterations seeded from the fusion output — "
+                        "regains the classical forward-model fit on real "
+                        "sensors while keeping the learned prior's detail "
+                        "(metrics.json then also reports "
+                        "fusion_forward_mse_raw)")
     p.add_argument("--mm-precision", default=None,
                    metavar="{HIGHEST,DEFAULT,BF16_BF16_F32_X3,...}",
                    help="matmul precision/algorithm for the banded engine "
@@ -123,7 +130,7 @@ def main(argv=None) -> int:
     fusion = None
     if args.fusion_run:
         from .fusion import FusionEngine
-        fusion = FusionEngine(args.fusion_run)
+        fusion = FusionEngine(args.fusion_run, refine=args.fusion_refine)
         if fusion.factor != cfg.upsample_factor:
             p.error(f"--fusion-run was trained at x{fusion.factor}; "
                     f"workload {cfg.name} is x{cfg.upsample_factor}")

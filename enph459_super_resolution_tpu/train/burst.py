@@ -208,6 +208,12 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
         pool = _tile_pool(image_pool_from_dir(data_dir, channels=1), tile)
         np.random.default_rng(seed).shuffle(pool)
         pool = pool[:pool_images]
+        if len(pool) < 3:
+            raise ValueError(
+                f"{data_dir} yields only {len(pool)} {tile}x{tile} tile(s) "
+                f"(pool_images={pool_images}); need >= 3 so an eval split "
+                "leaves training scenes — use more/larger images or a "
+                "smaller --tile")
     else:
         size = max(lr_patch * factor + 32, 192)
         pool = POOL_KINDS[pool_kind](n_images=pool_images, channels=1,
@@ -365,12 +371,22 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     if args.eval_only:
-        from .data import POOL_KINDS
+        from .data import POOL_KINDS, image_pool_from_dir
 
         apply_fn, ema, cfg = load_burst_run(args.out)
-        pool = POOL_KINDS[args.pool](n_images=args.pool_images,
-                                     channels=1, seed=args.seed,
-                                     size=192)
+        # score field-adapted runs in-domain: the run's recorded
+        # data_dir/tile are the eval-pool defaults; flags still override
+        data_dir = args.data_dir or cfg.get("data_dir")
+        if data_dir:
+            tile = int(cfg.get("tile") or args.tile)
+            pool = _tile_pool(image_pool_from_dir(data_dir, channels=1),
+                              tile)
+            np.random.default_rng(args.seed).shuffle(pool)
+            pool = pool[:args.pool_images]
+        else:
+            pool = POOL_KINDS[args.pool](n_images=args.pool_images,
+                                         channels=1, seed=args.seed,
+                                         size=192)
         n_eval = max(2, len(pool) // 8)
         out = evaluate_burst(apply_fn, ema, pool[:n_eval],
                              factor=cfg["factor"], noise_sigma=args.noise,

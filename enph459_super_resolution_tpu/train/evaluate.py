@@ -93,6 +93,14 @@ def main(argv=None) -> int:
     kwargs = {"channels": args.channels}
     if args.model != "srcnn":
         kwargs["scale"] = args.scale
+    run_cfg_path = os.path.join(args.run, "config.json")
+    if os.path.exists(run_cfg_path):
+        # the run's recorded model kwargs (train.loop config.json) are the
+        # defaults — they carry kwargs the trainer injected (e.g. the
+        # scan_trunk=True layout a pp mesh uses); explicit --model-kwargs
+        # still wins
+        with open(run_cfg_path) as fp:
+            kwargs.update(json.load(fp).get("model_kwargs") or {})
     if args.model_kwargs:
         kwargs.update(json.loads(args.model_kwargs))
     model = create_model(args.model, **kwargs)

@@ -99,6 +99,14 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
     if pp_on and gan:
         raise ValueError("pp + --gan is not supported (pipeline the "
                          "pretrain, fine-tune on dp/tp)")
+    if pp_on and tp_on:
+        raise ValueError("pp + tp in one mesh is not supported (the pp "
+                         "param placement would override the tp layout); "
+                         "combine pp with dp")
+    if mesh_axes.get("ep", 1) > 1:
+        raise ValueError("no expert-parallel model is wired into train.loop"
+                         " (ep is a library axis: parallel.moe); use "
+                         "dp/sp/tp/pp here")
 
     kwargs = dict(model_kwargs or {})
     if pp_on:
@@ -258,6 +266,17 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         nxt = min(((done // m) + 1) * m
                   for m in (LOG_EVERY, ckpt_every, eval_every))
         return max(1, min(k, steps - done, nxt - done))
+
+    # run provenance: evaluate/--init-from consumers need the ACTUAL model
+    # kwargs (e.g. the scan_trunk=True a pp mesh injects), not just what
+    # the user typed
+    with open(os.path.join(out_dir, "config.json"), "w") as fp:
+        json.dump(dict(model=model_name, scale=scale, channels=channels,
+                       model_kwargs=kwargs, steps=steps, batch=batch,
+                       lr_patch=lr_patch, learning_rate=learning_rate,
+                       loss=loss, pool=pool_kind, pool_images=pool_images,
+                       data_dir=data_dir, seed=seed, mesh=mesh_spec,
+                       gan=gan), fp, indent=2)
 
     metrics_path = os.path.join(out_dir, "metrics.jsonl")
     t0 = time.time()

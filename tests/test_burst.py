@@ -299,3 +299,45 @@ def test_train_burst_data_dir_pool(tmp_path):
     assert all(t.shape == (64, 64, 1) for t in tiles)
     with pytest.raises(ValueError):
         _tile_pool(image_pool_from_dir(fixture, channels=1), 4096)
+
+
+def test_fusion_refine_improves_forward_fit(tmp_path):
+    """--fusion-refine N (plug-and-play data consistency): Landweber steps
+    seeded from the net's output must cut the forward-model MSE toward the
+    classical engine's fit, and metrics.json reports both numbers."""
+    import scipy.ndimage as ndi
+
+    from enph459_super_resolution_tpu.data.io import save_png
+    from enph459_super_resolution_tpu.sr.run import main as sr_main
+    from enph459_super_resolution_tpu.train.burst import train_burst
+
+    run_dir = str(tmp_path / "burst_run")
+    train_burst(steps=2, batch=2, lr_patch=12, pool_images=10,
+                out_dir=run_dir, eval_every=2, ckpt_every=2, seed=0)
+
+    rng = np.random.default_rng(1)
+    scene = ndi.gaussian_filter(rng.uniform(0, 255, (48, 64)), 1.2)
+    sdir = tmp_path / "data" / "tiny_session"
+    sdir.mkdir(parents=True)
+    for ci in range(4):
+        img = np.clip(scene + rng.normal(0, 1, scene.shape),
+                      0, 255).astype(np.uint8)
+        save_png(img, str(sdir / f"corner{ci}_rep00.png"))
+
+    out = str(tmp_path / "results")
+    assert sr_main(["--workload", "mono_barcodes",
+                    "--data-dir", str(tmp_path / "data"),
+                    "--output-dir", out, "--no-figures",
+                    "--fusion-run", run_dir, "--fusion-refine", "15"]) == 0
+    metrics = json.loads(
+        (tmp_path / "results" / "tiny_session" / "rep0" /
+         "metrics.json").read_text())
+    raw = metrics["fusion_forward_mse_raw"]
+    refined = metrics["fusion_forward_mse"]
+    assert np.isfinite(raw) and np.isfinite(refined)
+    # This session's frames carry NO true shifts (inconsistent
+    # observations), so the joint data term has a high floor the classical
+    # IBP80 also sits on — the refined output must land at or below the
+    # classical engine's own fit, well under the raw net output
+    assert refined < 0.6 * raw
+    assert refined <= metrics["final_mse"]
