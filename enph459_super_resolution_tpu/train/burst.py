@@ -88,13 +88,17 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
                    psf=None, noise_sigma: float = 2.0,
                    jitter_sigma: float = 0.05, n_iter: int = 80,
                    shave: int = 12, seed: int = 1234,
-                   classical: bool = True) -> dict:
+                   classical: bool = True, refine: int = 0,
+                   refine_step: float = 2.0) -> dict:
     """Head-to-head burst-SR evaluation on held-out scenes.
 
     Each scene is the HR ground truth; its burst is simulated with TRUE
     shifts = nominal + jitter and read noise, then every engine gets only
     the NOMINAL shifts (the field condition).  Returns mean PSNR and SSIM
-    (border-shaved) for bicubic LR-mean upsample / SAA / IBP / fusion.
+    (border-shaved) for bicubic LR-mean upsample / SAA / IBP / fusion
+    (+ ``fusionref`` when ``refine > 0``: the fusion output after that
+    many data-consistency Landweber iterations — quantifies the
+    prior-vs-data-fit tradeoff against ground truth).
 
     The whole per-scene evaluation — burst simulation, all four engines,
     both metrics — is ONE jitted graph with a single small fetch per
@@ -129,6 +133,20 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
                                            factor, n_iter=n_iter)
         if apply_fn is not None:
             rows["fusion"] = fuse(apply_fn, params_arg, lr, nom, factor)
+            if refine > 0:
+                def fwd(h):
+                    return jax.vmap(
+                        lambda s: simulate_burst(h, s[None], psf_j,
+                                                 factor)[0])(nom)
+
+                def body(_, h):
+                    sim, vjp = jax.vjp(fwd, h)
+                    corr, = vjp(lr - sim)
+                    return jnp.clip(
+                        h + refine_step * corr / lr.shape[0], 0.0, 255.0)
+
+                rows["fusionref"] = jax.lax.fori_loop(
+                    0, refine, body, rows["fusion"])
         sl = slice(shave, -shave)
         out = {}
         for name, img in rows.items():
@@ -364,6 +382,10 @@ def main(argv=None) -> int:
                         "bicubic/SAA/IBP at --noise/--jitter")
     p.add_argument("--eval-iters", type=int, default=80,
                    help="IBP iterations in the classical comparison")
+    p.add_argument("--refine", type=int, default=0,
+                   help="with --eval-only: also score the fusion output "
+                        "after N data-consistency Landweber iterations "
+                        "(the sr.run --fusion-refine engine)")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)
     if args.platform:
@@ -391,7 +413,7 @@ def main(argv=None) -> int:
         out = evaluate_burst(apply_fn, ema, pool[:n_eval],
                              factor=cfg["factor"], noise_sigma=args.noise,
                              jitter_sigma=args.jitter,
-                             n_iter=args.eval_iters)
+                             n_iter=args.eval_iters, refine=args.refine)
         print(json.dumps(out))
         return 0
 
