@@ -125,23 +125,25 @@ def main() -> int:
     # of several timings plus the spread (min/max).
     reps = 2 if args.smoke else 7
 
-    def timed_store(store, n_reps=None, precision=None):
+    def timed_store(store, n_reps=None, precision=None, step=0.5,
+                    n_it=None):
         """Median-of-reps single-solve timing under one band-store mode
         (and optionally a matmul precision/algorithm for the f32 applies)."""
         from enph459_super_resolution_tpu.ops import opmatrix
 
+        n_it = n_iter if n_it is None else n_it
         os.environ["SRTPU_BAND_STORE"] = store
         prev_prec = opmatrix._MM_PRECISION
         if precision:
             opmatrix._MM_PRECISION = opmatrix._resolve_mm_precision(precision)
         try:
-            out = solve(lrs, psf, shifts, n_iter=n_iter)
+            out = solve(lrs, psf, shifts, n_iter=n_it, step=step)
             float(np.asarray(out["mse_history"][-1]))  # warmup + sync
             times = []
             for _ in range(n_reps or reps):
                 t0 = time.perf_counter()
                 out = solve(lrs + out["mse_history"][-1] * 1e-12, psf,
-                            shifts, n_iter=n_iter)
+                            shifts, n_iter=n_it, step=step)
                 checksum = float(np.asarray(out["mse_history"][-1]))
                 times.append(time.perf_counter() - t0)
             assert np.isfinite(checksum)
@@ -170,6 +172,28 @@ def main() -> int:
     classical_f32_mpix = hr_mpix / float(np.median(f32_times))
     bf16_times, _ = timed_store("bf16", extra_reps)
     classical_bf16_mpix = hr_mpix / float(np.median(bf16_times))
+
+    # true-adjoint Landweber solver (sr.run --solver adjoint): transposed
+    # forward operators admit step 2.0, matching IBP80's truth-PSNR at
+    # ~1/4 the iterations (tests/test_sr_classical.py, PERF_NOTES round-3
+    # step study) — the quality-equivalent fast solve.  Measured at f32
+    # strict and at the headline hybrid+X3 mode (tail scaled to the
+    # shorter loop).
+    adj_iters = max(1, round(n_iter / 4))
+
+    def timed_adjoint(store, precision=None):
+        os.environ["SRTPU_SOLVER"] = "adjoint"
+        try:
+            return timed_store(store, extra_reps, precision, step=2.0,
+                               n_it=adj_iters)
+        finally:
+            os.environ.pop("SRTPU_SOLVER")
+
+    adj_f32_times, _ = timed_adjoint("f32")
+    adj_hyb_times, _ = timed_adjoint(f"hybrid:{max(1, adj_iters // 5)}",
+                                     precision="BF16_BF16_F32_X3")
+    classical_adj_f32_mpix = hr_mpix / float(np.median(adj_f32_times))
+    classical_adj_hyb_mpix = hr_mpix / float(np.median(adj_hyb_times))
 
     # Tunnel-jitter vs device-time breakdown: chain k solves through a data
     # dependency with ONE host fetch at the end.  Async dispatch pipelines
@@ -340,6 +364,10 @@ def main() -> int:
         "classical_f32_strict_mpix_per_s": round(classical_f32_mpix, 3),
         "classical_batch_mpix_per_s": round(batch_mpix, 3),
         "classical_bf16_mpix_per_s": round(classical_bf16_mpix, 3),
+        "classical_adjoint_f32_mpix_per_s": round(classical_adj_f32_mpix, 3),
+        "classical_adjoint_hybrid_mpix_per_s": round(classical_adj_hyb_mpix,
+                                                     3),
+        "adjoint_iters": adj_iters,
         "cpu_baseline_mpix_per_s": cpu_mpix,
         "edsr_x4_infer_mpix_per_s": round(edsr_mpix, 2),
         "edsr_x4_infer_s_per_image": round(t_edsr, 4),

@@ -124,12 +124,20 @@ def native_upsample(lr_mean, factor: int = UPSAMPLE_FACTOR):
 # ---------------------------------------------------------------------------
 
 
-def _frame_operator_matrices(psf, shift_yx, factor: int, lr_shape, dtype_name):
+def _frame_operator_matrices(psf, shift_yx, factor: int, lr_shape,
+                             dtype_name, solver: str = "ibp"):
     """(fwd_row, fwd_col, bwd_row, bwd_col) lists over PSF rank terms.
 
     Forward: sim = sum_k R_k @ HR @ C_k^T  ==  decimate(shift(conv2d(HR))).
-    Backward: corr = sum_k Br_k @ ERR @ Bc_k^T
+    Backward (solver='ibp', the reference's heuristic back-projection):
+              corr = sum_k Br_k @ ERR @ Bc_k^T
               ==  correlate2d(shift^{-1}(zero_stuff(ERR)), psf).
+    Backward (solver='adjoint'): Br_k = R_k^T, Bc_k = C_k^T — the TRUE
+    adjoint of the forward operator (still banded, same MXU cost).  With
+    the exact adjoint the Landweber step is spectrally bounded by
+    2/||A||^2 with ||A|| < 1 for blur+decimate, so step ~2.0 is stable
+    (vs IBP's 0.5) and reaches IBP80's residual in ~20 iterations at the
+    same truth-PSNR (PERF_NOTES round-3 step study).
     The PSF enters via its SVD separable factors (rank 1 for Gaussian).
     """
     h_lr, w_lr = lr_shape
@@ -144,6 +152,10 @@ def _frame_operator_matrices(psf, shift_yx, factor: int, lr_shape, dtype_name):
         fwd_c.append(shift_op_matrix(
             w_lr * factor, dx * factor, stride=factor, n_out=w_lr,
             blur_taps=tuple(v[::-1]), blur_first=True, dtype_name=dtype_name))
+        if solver == "adjoint":
+            bwd_r.append(np.ascontiguousarray(fwd_r[-1].T))
+            bwd_c.append(np.ascontiguousarray(fwd_c[-1].T))
+            continue
         # back-projection correlates with the PSF -> taps unflipped
         bwd_r.append(stuff_shift_op_matrix(
             h_lr, factor, -dy * factor, blur_taps=tuple(u),
@@ -245,6 +257,15 @@ def _fused_engine_on(mode: str, band_store: str, lr_shape, hr_shape,
     return False
 
 
+def _solver_mode() -> str:
+    """SRTPU_SOLVER: 'ibp' (default — the reference's exact algorithm:
+    heuristic back-projection, step 0.5) or 'adjoint' (true-adjoint
+    Landweber: transposed forward operators, stable at step ~2.0 — same
+    truth-PSNR as IBP80 in ~20 iterations; see
+    :func:`_frame_operator_matrices`).  CLI: ``sr.run --solver``."""
+    return os.environ.get("SRTPU_SOLVER", "ibp")
+
+
 def _band_store() -> str:
     """SRTPU_BAND_STORE: 'f32' (default), 'bf16', or 'hybrid[:tail]'.
 
@@ -276,7 +297,7 @@ def _hybrid_tail(band_store: str) -> int:
 
 
 def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
-                         reps=1):
+                         reps=1, solver="ibp"):
     """Host-side (numpy) build of one solve config's operator pytree.
 
     ~15-50 s of single-core scipy/numpy work at the flagship 1536x2048
@@ -303,7 +324,7 @@ def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
 
     h_lr, w_lr = lr_shape
     frame_mats = [_frame_operator_matrices(psf, s, factor, lr_shape,
-                                           dtype_name)
+                                           dtype_name, solver=solver)
                   for s in shifts_yx]
     mats = {
         "zoom_r": br(zoom_op_matrix(h_lr, factor, dtype_name=dtype_name)),
@@ -360,7 +381,7 @@ def _device_put_dedup(tree):
 
 
 def _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps,
-                   fused=False):
+                   fused=False, solver="ibp"):
     """Disk-cache file for a host operator build, or None when disabled.
 
     Key covers everything that changes cached contents: the build inputs,
@@ -378,7 +399,8 @@ def _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps,
 
     meta = repr((_OP_CACHE_VERSION, psf.shape, str(psf.dtype), shifts_yx,
                  factor, lr_shape, dtype_name, reps, opmatrix._BAND_BLOCK,
-                 opmatrix._pallas_rows_enabled(), bool(fused))).encode()
+                 opmatrix._pallas_rows_enabled(), bool(fused),
+                 solver)).encode()
     key = hashlib.sha256(meta + psf.tobytes()).hexdigest()[:32]
     cache_dir = os.environ.get(
         "SRTPU_OP_CACHE_DIR", f"/tmp/srtpu_opcache_{os.getuid()}")
@@ -396,7 +418,7 @@ def _cache_dir_trusted(path: str) -> bool:
 
 
 def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
-                    fused_mode="0", band_store="f32"):
+                    fused_mode="0", band_store="f32", solver="ibp"):
     """All operator matrices for one solve config, as a device pytree of
     :class:`BandedOp` block decompositions.
 
@@ -427,7 +449,7 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
                                 (h_lr * factor, w_lr * factor), dtype_name)
 
     path = _op_cache_path(psf, shifts_yx, factor, lr_shape, dtype_name, reps,
-                          fused=fused_on)
+                          fused=fused_on, solver=solver)
     cached = None
     if path and os.path.exists(path) and _cache_dir_trusted(path):
         try:
@@ -437,7 +459,8 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
             cached = None  # stale/corrupt cache entry: rebuild
     if cached is None:
         mats, frame_mats = _host_solve_matrices(psf, shifts_yx, factor,
-                                                lr_shape, dtype_name, reps)
+                                                lr_shape, dtype_name, reps,
+                                                solver=solver)
         cached = {"mats": mats}
         if fused_on:
             cached["frame_mats"] = frame_mats
@@ -505,7 +528,7 @@ def _mm_precision_key():
 def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
                     n_iter, step, clip_max, engine, lr_shape, dtype_name,
                     reps=1, fused_mode="0", band_store="f32",
-                    mm_precision=None):
+                    mm_precision=None, solver="ibp"):
     """Jitted full-session solver + its device-resident operator matrices,
     cached per (psf, shifts, shape, config).
 
@@ -517,9 +540,13 @@ def _compiled_solve(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
     psf = np.frombuffer(psf_bytes, dtype=psf_dtype).reshape(psf_shape)
     clip = (0.0, clip_max)
     n = len(shifts_yx)
+    if solver == "adjoint":
+        # the fused Pallas pack bakes the heuristic bwd ops; the adjoint
+        # solver runs the banded engine (its transposed ops are banded too)
+        fused_mode = "0"
     mats = _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
-                           reps, fused_mode,
-                           band_store) if engine == "mm" else None
+                           reps, fused_mode, band_store,
+                           solver=solver) if engine == "mm" else None
 
     def rep_mse(err):
         err = err.astype(jnp.float32)  # bf16 err (fused low path): f32 MSE
@@ -638,13 +665,18 @@ def solve(lr_stack, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
     shifts_key = tuple((float(dy), float(dx)) for dy, dx in shifts_yx)
     lr_shape = tuple(int(v) for v in lr_stack.shape[-2:])
     dtype_name = str(jnp.asarray(lr_stack).dtype)
+    solver = _solver_mode()
+    if solver == "adjoint" and engine != "mm":
+        raise ValueError("SRTPU_SOLVER=adjoint runs on the banded 'mm' "
+                         f"engine only (got engine={engine!r})")
     fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
                                shifts_key, int(factor), int(n_iter),
                                float(step), float(clip_max), engine,
                                lr_shape, dtype_name,
                                fused_mode=_fused_ibp_mode(),
                                band_store=_band_store(),
-                               mm_precision=_mm_precision_key())
+                               mm_precision=_mm_precision_key(),
+                               solver=solver)
     return fn(lr_stack, mats)
 
 
@@ -673,6 +705,10 @@ def solve_batch(lr_stacks, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
     lr_shape = tuple(int(v) for v in lr_stacks.shape[-2:])
     dtype_name = str(jnp.asarray(lr_stacks).dtype)
     r = int(lr_stacks.shape[0])
+    solver = _solver_mode()
+    if solver == "adjoint" and engine != "mm":
+        raise ValueError("SRTPU_SOLVER=adjoint runs on the banded 'mm' "
+                         f"engine only (got engine={engine!r})")
     if engine != "mm" or r == 1:
         fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
                                    shifts_key, int(factor), int(n_iter),
@@ -680,7 +716,8 @@ def solve_batch(lr_stacks, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
                                    lr_shape, dtype_name,
                                    fused_mode=_fused_ibp_mode(),
                                    band_store=_band_store(),
-                                   mm_precision=_mm_precision_key())
+                                   mm_precision=_mm_precision_key(),
+                                   solver=solver)
         return jax.jit(jax.vmap(fn, in_axes=(0, None)))(lr_stacks, mats)
 
     fn, mats = _compiled_solve(psf.tobytes(), psf.shape, str(psf.dtype),
@@ -689,7 +726,8 @@ def solve_batch(lr_stacks, psf, shifts_yx, factor: int = UPSAMPLE_FACTOR,
                                lr_shape, dtype_name, reps=r,
                                fused_mode=_fused_ibp_mode(),
                                band_store=_band_store(),
-                               mm_precision=_mm_precision_key())
+                               mm_precision=_mm_precision_key(),
+                               solver=solver)
     n, h, w = lr_stacks.shape[-3:]
     stacked = jnp.asarray(lr_stacks).transpose(1, 0, 2, 3).reshape(n, r * h, w)
     out = fn(stacked, mats)

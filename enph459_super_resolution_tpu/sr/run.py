@@ -71,6 +71,18 @@ def main(argv=None) -> int:
     p.add_argument("--engine", default="mm", choices=["mm", "conv"],
                    help="compute engine: banded-MXU matmuls (default) or "
                         "fused tap-sum convs (cross-check path)")
+    p.add_argument("--solver", default=None, choices=["ibp", "adjoint"],
+                   help="iteration scheme: 'ibp' (default — the reference's "
+                        "exact algorithm: heuristic back-projection, step "
+                        "0.5) or 'adjoint' (true-adjoint Landweber on "
+                        "transposed forward operators: stable at step 2.0, "
+                        "matches IBP80's truth-PSNR in ~20 iterations — "
+                        "~4x fewer; defaults --ibp-iters to workload/4 and "
+                        "--ibp-step to 2.0)")
+    p.add_argument("--ibp-iters", type=int, default=None,
+                   help="override the workload's iteration count")
+    p.add_argument("--ibp-step", type=float, default=None,
+                   help="override the update step size")
     p.add_argument("--max-batch", type=int, default=4,
                    help="max units per batched device solve (cross-session "
                         "batching; operator memory scales with it)")
@@ -127,6 +139,27 @@ def main(argv=None) -> int:
             args.mm_precision)
 
     cfg = WORKLOADS[args.workload]
+    if args.solver:
+        os.environ["SRTPU_SOLVER"] = args.solver
+    solver = os.environ.get("SRTPU_SOLVER", "ibp")
+    if solver == "adjoint" and (args.engine != "mm" or args.sp > 1):
+        p.error("--solver adjoint runs on the banded mm engine, unsharded "
+                "(no --engine conv / --sp)")
+    n_iter = args.ibp_iters
+    if n_iter is None and solver == "adjoint":
+        # the true-adjoint step converges ~4x faster per iteration at the
+        # same truth-PSNR (PERF_NOTES step study)
+        n_iter = max(1, round(cfg.ibp_iterations / 4))
+    ibp_step = args.ibp_step
+    if ibp_step is None and solver == "adjoint":
+        ibp_step = 2.0
+    if n_iter is not None or ibp_step is not None:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg,
+            ibp_iterations=n_iter if n_iter is not None
+            else cfg.ibp_iterations,
+            ibp_step=ibp_step if ibp_step is not None else cfg.ibp_step)
     fusion = None
     if args.fusion_run:
         from .fusion import FusionEngine

@@ -422,3 +422,40 @@ def test_op_cache_roundtrip_and_corruption(tmp_path, monkeypatch):
 
     monkeypatch.setenv("SRTPU_OP_CACHE", "0")
     assert C._op_cache_path(*args, reps=1) is None
+
+
+def test_adjoint_solver_quality_equivalent_at_quarter_iters(monkeypatch):
+    """SRTPU_SOLVER=adjoint (true-adjoint Landweber: transposed forward
+    operators, step 2.0) must reach the classical IBP's forward residual
+    in ~1/4 the iterations at the SAME truth quality (PERF_NOTES round-3
+    step study pins the mechanism: with the exact adjoint the stable step
+    is spectrally bounded by 2/||A||^2 with ||A|| < 1)."""
+    psf = make_gaussian_psf()
+    hr_true = make_scene(64, 80)
+    rng = np.random.default_rng(3)
+    lrs = np.stack([np_forward(hr_true, psf, s, 2)
+                    + rng.normal(0, 2.0, (32, 40)) for s in SHIFTS])
+    dev = jnp.asarray(lrs, jnp.float32)
+
+    want = solve(dev, psf, SHIFTS, n_iter=80)
+    monkeypatch.setenv("SRTPU_SOLVER", "adjoint")
+    got = solve(dev, psf, SHIFTS, n_iter=20, step=2.0)
+
+    def truth_psnr(img):
+        sl = slice(8, -8)
+        mse = float(np.mean((np.asarray(img)[sl, sl]
+                             - hr_true[sl, sl]) ** 2))
+        return 10.0 * np.log10(255.0 ** 2 / mse)
+
+    # data fit: the 20-iteration adjoint solve matches/beats IBP80's
+    assert float(got["mse_history"][-1]) <= float(
+        want["mse_history"][-1]) * 1.02
+    # truth quality: within 0.15 dB of the 80-iteration classical result
+    assert abs(truth_psnr(got["ibp"]) - truth_psnr(want["ibp"])) < 0.15
+    # SAA/native are solver-independent (identical operators)
+    np.testing.assert_array_equal(np.asarray(got["saa"]),
+                                  np.asarray(want["saa"]))
+
+    # conv engine rejects the adjoint solver explicitly
+    with pytest.raises(ValueError):
+        solve(dev, psf, SHIFTS, n_iter=5, engine="conv")
