@@ -459,3 +459,24 @@ def test_adjoint_solver_quality_equivalent_at_quarter_iters(monkeypatch):
     # conv engine rejects the adjoint solver explicitly
     with pytest.raises(ValueError):
         solve(dev, psf, SHIFTS, n_iter=5, engine="conv")
+
+
+def test_adjoint_solver_batched_matches_single(monkeypatch):
+    """The rep-tiled batched solve honors SRTPU_SOLVER=adjoint: per-rep
+    results equal the single adjoint solves bit-for-bit (same operators,
+    same schedule — the tiling is block-diagonal)."""
+    monkeypatch.setenv("SRTPU_SOLVER", "adjoint")
+    psf = make_gaussian_psf()
+    rng = np.random.default_rng(7)
+    stacks = np.stack([
+        np.stack([np_forward(make_scene(64, 80), psf, sh, 2)
+                  for sh in SHIFTS]) + rng.normal(0, 1.0, (4, 32, 40))
+        for _ in (0, 1)]).astype(np.float32)
+
+    from enph459_super_resolution_tpu.sr.classical import solve_batch
+    outb = solve_batch(jnp.asarray(stacks), psf, SHIFTS, n_iter=10, step=2.0)
+    for r in range(2):
+        single = solve(jnp.asarray(stacks[r]), psf, SHIFTS, n_iter=10,
+                       step=2.0)
+        np.testing.assert_array_equal(np.asarray(outb["ibp"][r]),
+                                      np.asarray(single["ibp"]))
