@@ -263,7 +263,10 @@ def _solver_mode() -> str:
     Landweber: transposed forward operators, stable at step ~2.0 — same
     truth-PSNR as IBP80 in ~20 iterations; see
     :func:`_frame_operator_matrices`).  CLI: ``sr.run --solver``."""
-    return os.environ.get("SRTPU_SOLVER", "ibp")
+    mode = os.environ.get("SRTPU_SOLVER", "ibp")
+    if mode not in ("ibp", "adjoint"):
+        raise ValueError(f"SRTPU_SOLVER={mode!r}: use 'ibp' or 'adjoint'")
+    return mode
 
 
 def _band_store() -> str:

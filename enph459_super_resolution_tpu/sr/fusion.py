@@ -91,6 +91,30 @@ def fuse(apply_fn, params, lr_stack, shifts_yx, factor: int):
     return jnp.clip(sr, 0.0, 255.0)
 
 
+def data_consistency_refine(hr, lr_stack, shifts, psf, factor: int,
+                            n_iter: int, step: float = 2.0,
+                            clip=(0.0, 255.0)):
+    """Landweber data-consistency iterations under the Keys-cubic forward
+    model: ``hr += step * A^T(lr - A hr) / n_frames`` with the true
+    adjoint ``A^T`` via ``jax.vjp``, clipped.  Shared by the product
+    surface (``sr.run --fusion-refine``) and the eval harness
+    (``train.burst --refine``); step 2.0 is spectrally stable (operator
+    norm of blur+decimate < 1 — PERF_NOTES round-3 step study)."""
+
+    def fwd(h):
+        return jax.vmap(
+            lambda s: simulate_burst(h, s[None], psf, factor)[0])(shifts)
+
+    n = lr_stack.shape[0]
+
+    def body(_, h):
+        sim, vjp = jax.vjp(fwd, h)
+        corr, = vjp(lr_stack - sim)
+        return jnp.clip(h + step * corr / n, clip[0], clip[1])
+
+    return jax.lax.fori_loop(0, n_iter, body, hr)
+
+
 class FusionEngine:
     """The learned burst engine as a drop-in product surface.
 
@@ -125,6 +149,8 @@ class FusionEngine:
         self.run_dir = run_dir
         self.n_frames = int(self.cfg["frames"])
         self.factor = int(self.cfg["factor"])
+        if refine < 0:
+            raise ValueError(f"refine must be >= 0, got {refine}")
         self.refine = int(refine)
         self.refine_step = float(refine_step)
         self._psf = psf
@@ -140,25 +166,17 @@ class FusionEngine:
                 sr = fuse(self.apply_fn, params, lr_stack, shifts,
                           self.factor)
 
-                def fwd(h):
-                    return jax.vmap(
+                def fwd_mse(h):
+                    sim = jax.vmap(
                         lambda s: simulate_burst(h, s[None], psf,
                                                  self.factor)[0])(shifts)
-
-                def fwd_mse(h):
-                    return jnp.mean((lr_stack - fwd(h)) ** 2)
+                    return jnp.mean((lr_stack - sim) ** 2)
 
                 mse_raw = fwd_mse(sr)
                 if self.refine > 0:
-                    n = lr_stack.shape[0]
-
-                    def body(_, h):
-                        sim, vjp = jax.vjp(fwd, h)
-                        corr, = vjp(lr_stack - sim)
-                        return jnp.clip(
-                            h + self.refine_step * corr / n, 0.0, 255.0)
-
-                    sr = jax.lax.fori_loop(0, self.refine, body, sr)
+                    sr = data_consistency_refine(
+                        sr, lr_stack, shifts, psf, self.factor,
+                        self.refine, self.refine_step)
                 return sr, fwd_mse(sr), mse_raw
 
             self._jitted[key] = jax.jit(_run)

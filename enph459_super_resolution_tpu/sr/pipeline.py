@@ -128,7 +128,7 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
             sr, fwd_mse, fwd_mse_raw = fusion(frames, session.shifts, psf)
             result["fusion"] = np.asarray(sr)
             result["fusion_forward_mse"] = float(fwd_mse)
-            if fusion.refine:
+            if fusion.refine > 0:
                 result["fusion_forward_mse_raw"] = float(fwd_mse_raw)
 
     return _write_unit_artifacts(session, result, cfg, output_base, figures,

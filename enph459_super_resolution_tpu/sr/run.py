@@ -139,12 +139,14 @@ def main(argv=None) -> int:
             args.mm_precision)
 
     cfg = WORKLOADS[args.workload]
-    if args.solver:
-        os.environ["SRTPU_SOLVER"] = args.solver
-    solver = os.environ.get("SRTPU_SOLVER", "ibp")
+    solver = args.solver or os.environ.get("SRTPU_SOLVER", "ibp")
     if solver == "adjoint" and (args.engine != "mm" or args.sp > 1):
         p.error("--solver adjoint runs on the banded mm engine, unsharded "
                 "(no --engine conv / --sp)")
+    if args.solver:
+        # set only after validation: p.error above raises SystemExit, and
+        # an in-process caller must not inherit a sticky solver env
+        os.environ["SRTPU_SOLVER"] = args.solver
     n_iter = args.ibp_iters
     if n_iter is None and solver == "adjoint":
         # the true-adjoint step converges ~4x faster per iteration at the

@@ -134,19 +134,11 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
         if apply_fn is not None:
             rows["fusion"] = fuse(apply_fn, params_arg, lr, nom, factor)
             if refine > 0:
-                def fwd(h):
-                    return jax.vmap(
-                        lambda s: simulate_burst(h, s[None], psf_j,
-                                                 factor)[0])(nom)
+                from ..sr.fusion import data_consistency_refine
 
-                def body(_, h):
-                    sim, vjp = jax.vjp(fwd, h)
-                    corr, = vjp(lr - sim)
-                    return jnp.clip(
-                        h + refine_step * corr / lr.shape[0], 0.0, 255.0)
-
-                rows["fusionref"] = jax.lax.fori_loop(
-                    0, refine, body, rows["fusion"])
+                rows["fusionref"] = data_consistency_refine(
+                    rows["fusion"], lr, nom, psf_j, factor, refine,
+                    refine_step)
         sl = slice(shave, -shave)
         out = {}
         for name, img in rows.items():
@@ -362,9 +354,14 @@ def main(argv=None) -> int:
     p.add_argument("--loss", default="l1",
                    choices=["l1", "l2", "charbonnier"])
     p.add_argument("--out", default="/tmp/burst_run")
-    p.add_argument("--pool", default="synthetic",
-                   choices=["synthetic", "natural", "edges"])
-    p.add_argument("--pool-images", type=int, default=64)
+    p.add_argument("--pool", default=None,
+                   choices=["synthetic", "natural", "edges"],
+                   help="scene pool (training default: synthetic; "
+                        "--eval-only default: the run's recorded pool)")
+    p.add_argument("--pool-images", type=int, default=None,
+                   help="pool size (training default 64; --eval-only "
+                        "default: the run's recorded value — needed to "
+                        "reconstruct the held-out split exactly)")
     p.add_argument("--data-dir", default=None,
                    help="train on tiles cut from real images in this dir "
                         "instead of a procedural pool (field adaptation: "
@@ -373,7 +370,9 @@ def main(argv=None) -> int:
     p.add_argument("--tile", type=int, default=128,
                    help="tile side for --data-dir pools (raised to the "
                         "training crop size if smaller)")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None,
+                   help="(training default 0; --eval-only default: the "
+                        "run's recorded seed — the split depends on it)")
     p.add_argument("--eval-every", type=int, default=2000)
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--no-resume", action="store_true")
@@ -396,19 +395,29 @@ def main(argv=None) -> int:
         from .data import POOL_KINDS, image_pool_from_dir
 
         apply_fn, ema, cfg = load_burst_run(args.out)
-        # score field-adapted runs in-domain: the run's recorded
-        # data_dir/tile are the eval-pool defaults; flags still override
+        # score the run on ITS OWN held-out split: every pool-shaping
+        # knob (data_dir/tile/pool/pool_images/seed) defaults to the
+        # run's recorded config — the train/eval split depends on all of
+        # them (cf. scratch/probe_burst_robustness.py); explicit flags
+        # still override for cross-distribution scoring
         data_dir = args.data_dir or cfg.get("data_dir")
+        pool_images = (args.pool_images if args.pool_images is not None
+                       else int(cfg.get("pool_images", 64)))
+        seed = (args.seed if args.seed is not None
+                else int(cfg.get("seed", 0)))
         if data_dir:
             tile = int(cfg.get("tile") or args.tile)
             pool = _tile_pool(image_pool_from_dir(data_dir, channels=1),
                               tile)
-            np.random.default_rng(args.seed).shuffle(pool)
-            pool = pool[:args.pool_images]
+            np.random.default_rng(seed).shuffle(pool)
+            pool = pool[:pool_images]
         else:
-            pool = POOL_KINDS[args.pool](n_images=args.pool_images,
-                                         channels=1, seed=args.seed,
-                                         size=192)
+            pool_kind = args.pool or cfg.get("pool", "synthetic")
+            size = max(int(cfg.get("lr_patch", 24))
+                       * int(cfg.get("factor", 2)) + 32, 192)
+            pool = POOL_KINDS[pool_kind](n_images=pool_images,
+                                         channels=1, seed=seed,
+                                         size=size)
         n_eval = max(2, len(pool) // 8)
         out = evaluate_burst(apply_fn, ema, pool[:n_eval],
                              factor=cfg["factor"], noise_sigma=args.noise,
@@ -423,8 +432,11 @@ def main(argv=None) -> int:
                         n_resblocks=args.n_resblocks, noise=args.noise,
                         jitter=args.jitter,
                         learning_rate=args.learning_rate, loss=args.loss,
-                        out_dir=args.out, pool_kind=args.pool,
-                        pool_images=args.pool_images, seed=args.seed,
+                        out_dir=args.out,
+                        pool_kind=args.pool or "synthetic",
+                        pool_images=(64 if args.pool_images is None
+                                     else args.pool_images),
+                        seed=0 if args.seed is None else args.seed,
                         eval_every=args.eval_every,
                         ckpt_every=args.ckpt_every,
                         resume=not args.no_resume,

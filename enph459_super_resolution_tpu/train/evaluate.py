@@ -52,10 +52,13 @@ def interpolate_weights(psnr_weights, gan_weights, alpha):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default="edsr",
-                   choices=["srcnn", "espcn", "fsrcnn", "edsr", "rrdbnet"])
-    p.add_argument("--scale", type=int, default=4)
-    p.add_argument("--channels", type=int, default=3)
+    p.add_argument("--model", default=None,
+                   choices=["srcnn", "espcn", "fsrcnn", "edsr", "rrdbnet"],
+                   help="(default: the run's recorded model, else edsr)")
+    p.add_argument("--scale", type=int, default=None,
+                   help="(default: the run's recorded scale, else 4)")
+    p.add_argument("--channels", type=int, default=None,
+                   help="(default: the run's recorded channels, else 3)")
     p.add_argument("--run", required=True,
                    help="training output dir containing ckpt/")
     p.add_argument("--data-dir", default=None,
@@ -90,17 +93,29 @@ def main(argv=None) -> int:
     from ..models import create_model
     from .data import POOL_KINDS, evaluate_sr, image_pool_from_dir
 
+    # the run's recorded config (train.loop config.json) is the default
+    # for everything model-shaped — it carries kwargs the trainer
+    # injected (e.g. the scan_trunk=True layout a pp mesh uses); explicit
+    # flags and --model-kwargs still win
+    run_cfg = {}
+    run_cfg_path = os.path.join(args.run, "config.json")
+    if os.path.exists(run_cfg_path):
+        with open(run_cfg_path) as fp:
+            run_cfg = json.load(fp)
+    args.model = args.model or run_cfg.get("model", "edsr")
+    args.scale = (args.scale if args.scale is not None
+                  else int(run_cfg.get("scale", 4)))
+    args.channels = (args.channels if args.channels is not None
+                     else int(run_cfg.get("channels", 3)))
     kwargs = {"channels": args.channels}
     if args.model != "srcnn":
         kwargs["scale"] = args.scale
-    run_cfg_path = os.path.join(args.run, "config.json")
-    if os.path.exists(run_cfg_path):
-        # the run's recorded model kwargs (train.loop config.json) are the
-        # defaults — they carry kwargs the trainer injected (e.g. the
-        # scan_trunk=True layout a pp mesh uses); explicit --model-kwargs
-        # still wins
-        with open(run_cfg_path) as fp:
-            kwargs.update(json.load(fp).get("model_kwargs") or {})
+    recorded = dict(run_cfg.get("model_kwargs") or {})
+    # channels/scale were resolved above (explicit flag > run config);
+    # the recorded copies must not override an explicit flag
+    recorded.pop("channels", None)
+    recorded.pop("scale", None)
+    kwargs.update(recorded)
     if args.model_kwargs:
         kwargs.update(json.loads(args.model_kwargs))
     model = create_model(args.model, **kwargs)
