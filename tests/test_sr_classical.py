@@ -480,3 +480,22 @@ def test_adjoint_solver_batched_matches_single(monkeypatch):
                        step=2.0)
         np.testing.assert_array_equal(np.asarray(outb["ibp"][r]),
                                       np.asarray(single["ibp"]))
+
+
+def test_solver_env_validation_and_no_cli_leak(monkeypatch, tmp_path):
+    """A rejected --solver invocation must not leave SRTPU_SOLVER set for
+    the rest of the process, and garbage env values fail loudly instead of
+    silently running the heuristic solver."""
+    from enph459_super_resolution_tpu.sr.classical import _solver_mode
+    from enph459_super_resolution_tpu.sr.run import main as sr_main
+
+    monkeypatch.delenv("SRTPU_SOLVER", raising=False)
+    with pytest.raises(SystemExit):
+        sr_main(["--workload", "mono_barcodes", "--data-dir",
+                 str(tmp_path), "--output-dir", str(tmp_path / "o"),
+                 "--solver", "adjoint", "--engine", "conv"])
+    assert "SRTPU_SOLVER" not in os.environ
+
+    monkeypatch.setenv("SRTPU_SOLVER", "adjiont")
+    with pytest.raises(ValueError):
+        _solver_mode()
