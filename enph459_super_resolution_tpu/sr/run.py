@@ -122,6 +122,10 @@ def main(argv=None) -> int:
                         "sensors while keeping the learned prior's detail "
                         "(metrics.json then also reports "
                         "fusion_forward_mse_raw)")
+    p.add_argument("--fusion-refine-step", type=float, default=2.0,
+                   help="Landweber step for --fusion-refine (2.0 is "
+                        "spectrally stable under the exact adjoint; lower "
+                        "it only to mimic IBP's 0.5 schedule)")
     p.add_argument("--mm-precision", default=None,
                    metavar="{HIGHEST,DEFAULT,BF16_BF16_F32_X3,...}",
                    help="matmul precision/algorithm for the banded engine "
@@ -165,7 +169,8 @@ def main(argv=None) -> int:
     fusion = None
     if args.fusion_run:
         from .fusion import FusionEngine
-        fusion = FusionEngine(args.fusion_run, refine=args.fusion_refine)
+        fusion = FusionEngine(args.fusion_run, refine=args.fusion_refine,
+                              refine_step=args.fusion_refine_step)
         if fusion.factor != cfg.upsample_factor:
             p.error(f"--fusion-run was trained at x{fusion.factor}; "
                     f"workload {cfg.name} is x{cfg.upsample_factor}")
