@@ -147,7 +147,7 @@ def _rep_row(x, row: int, halo: int):
 def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
                 factor: int = 2, n_iter: int = 80, step: float = 0.5,
                 halo_lr: int = 32, sp_axis: str = "sp",
-                clip=(0.0, 255.0)):
+                clip=(0.0, 255.0), solver: str = "ibp"):
     """Classical IBP with the image plane sharded over ``sp_axis``.
 
     Per iteration and per device: refresh the HR tile's halo from its
@@ -171,6 +171,16 @@ def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
     shift, and zeros again before the final correlation.  Result: the
     sharded solve matches the single-device solve over the FULL array
     (``tests/test_parallel.py`` asserts allclose with no edge trim).
+
+    ``solver='adjoint'`` replaces the heuristic back-projection with the
+    TRUE adjoint of the per-tile patched forward via ``jax.vjp`` (step
+    ~2.0 stable — see ``sr.classical._solver_mode``).  Locality argument:
+    an interior HR pixel's adjoint row draws only on LR rows within the
+    operator support (≪ halo), all present in the extended tile, and each
+    HR pixel is owned by exactly one device's interior — so keeping the
+    interior of the local vjp equals the global adjoint, including the
+    global edges (the vjp transposes the same halo patches the forward
+    applies).
 
     Args:
       lr_stack: (N, h, w) registered LR frames.
@@ -201,34 +211,58 @@ def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
             mse = jnp.asarray(0.0, dtype=hr_ext.dtype)
             for i in range(n_frames):
                 dy, dx = shifts_key[i]
-                blurred = conv2d_same(hr_ext, psf)
-                # forward shift sees the 'nearest' extension of the blurred
-                # grid: replicate its true edge rows into the edge halos
-                blurred = _patch_halos(
-                    blurred, halo_hr, idx, nsp,
-                    _rep_row(blurred, halo_hr, halo_hr),
-                    _rep_row(blurred, halo_hr + t_hr - 1, halo_hr))
-                sim = spline_shift(blurred, (dy * factor, dx * factor),
-                                   strides=(factor, factor))
-                err = lr_ext[i] - sim
+
+                def fwd_frame(hr_ext_):
+                    blurred = conv2d_same(hr_ext_, psf)
+                    # forward shift sees the 'nearest' extension of the
+                    # blurred grid: replicate its true edge rows into the
+                    # edge halos
+                    blurred = _patch_halos(
+                        blurred, halo_hr, idx, nsp,
+                        _rep_row(blurred, halo_hr, halo_hr),
+                        _rep_row(blurred, halo_hr + t_hr - 1, halo_hr))
+                    return spline_shift(blurred, (dy * factor, dx * factor),
+                                        strides=(factor, factor))
+
+                if solver == "adjoint":
+                    sim, vjp = jax.vjp(fwd_frame, hr_ext)
+                    err = lr_ext[i] - sim
+                    # the vjp seed must cover only LR rows that exist
+                    # globally: at the global edges the extended tile's
+                    # halo rows are phantoms (beyond the sensor), and the
+                    # edge-replication patch would pull their junk error
+                    # into the edge pixels' adjoint rows
+                    zeros_lr = jnp.zeros((halo_lr,) + err.shape[1:],
+                                         err.dtype)
+                    seed = _patch_halos(err, halo_lr, idx, nsp,
+                                        zeros_lr, zeros_lr)
+                    corr_ext, = vjp(seed)
+                    corr = corr_ext
+                else:
+                    sim = fwd_frame(hr_ext)
+                    err = lr_ext[i] - sim
                 mse = mse + jnp.mean(
                     jnp.square(err[halo_lr:halo_lr + t_lr]))
-                # back-projection: zero-stuff the extended error grid, then
-                # give the backward shift the 'nearest' extension of the
-                # STUFFED grid — solid replicated rows at the global edges
-                up = jnp.zeros(hr_ext.shape, dtype=err.dtype)
-                up = up.at[::factor, ::factor].set(err)
-                up = _patch_halos(
-                    up, halo_hr, idx, nsp,
-                    _rep_row(up, halo_hr, halo_hr),
-                    _rep_row(up, halo_hr + t_hr - 1, halo_hr))
-                shifted = spline_shift(up, (-dy * factor, -dx * factor))
-                # the final correlation's boundary prior is zero padding
-                shifted = _patch_halos(
-                    shifted, halo_hr, idx, nsp,
-                    jnp.zeros((halo_hr,) + shifted.shape[1:], shifted.dtype),
-                    jnp.zeros((halo_hr,) + shifted.shape[1:], shifted.dtype))
-                corr = correlate2d_same(shifted, psf)
+                if solver != "adjoint":
+                    # heuristic back-projection: zero-stuff the extended
+                    # error grid, then give the backward shift the
+                    # 'nearest' extension of the STUFFED grid — solid
+                    # replicated rows at the global edges
+                    up = jnp.zeros(hr_ext.shape, dtype=err.dtype)
+                    up = up.at[::factor, ::factor].set(err)
+                    up = _patch_halos(
+                        up, halo_hr, idx, nsp,
+                        _rep_row(up, halo_hr, halo_hr),
+                        _rep_row(up, halo_hr + t_hr - 1, halo_hr))
+                    shifted = spline_shift(up, (-dy * factor, -dx * factor))
+                    # the final correlation's boundary prior is zero padding
+                    shifted = _patch_halos(
+                        shifted, halo_hr, idx, nsp,
+                        jnp.zeros((halo_hr,) + shifted.shape[1:],
+                                  shifted.dtype),
+                        jnp.zeros((halo_hr,) + shifted.shape[1:],
+                                  shifted.dtype))
+                    corr = correlate2d_same(shifted, psf)
                 correction = correction + corr[halo_hr:halo_hr + t_hr]
             hr_int = jnp.clip(hr_int + step * correction / n_frames,
                               clip[0], clip[1])
@@ -252,7 +286,8 @@ def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
 
 def solve_sharded(lr_stack, psf, shifts_yx, mesh: Mesh,
                   factor: int = 2, n_iter: int = 80, step: float = 0.5,
-                  halo_lr: int = 32, sp_axis: str = "sp"):
+                  halo_lr: int = 32, sp_axis: str = "sp",
+                  solver: str = "ibp"):
     """Full classical solve with the IBP loop spatially sharded.
 
     Native-2x and SAA are global resampling ops (their endpoint-aligned
@@ -272,7 +307,7 @@ def solve_sharded(lr_stack, psf, shifts_yx, mesh: Mesh,
     saa = saa_fn(lr_stack, shifts_key, factor)
     hr, errs = sharded_ibp(lr_stack, saa, psf, shifts_key, mesh,
                            factor=factor, n_iter=n_iter, step=step,
-                           halo_lr=halo_lr, sp_axis=sp_axis)
+                           halo_lr=halo_lr, sp_axis=sp_axis, solver=solver)
     return {
         "lr_mean": lr_mean,
         "native": native,

@@ -110,11 +110,13 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
     with timer.stage("solve"):
         if sp > 1:
             from ..parallel import make_mesh, solve_sharded
+            from .classical import _solver_mode
             mesh = make_mesh({"sp": sp}, devices=jax.devices()[:sp])
             result = solve_sharded(frames, psf, session.shifts, mesh,
                                    factor=cfg.upsample_factor,
                                    n_iter=cfg.ibp_iterations,
-                                   step=cfg.ibp_step)
+                                   step=cfg.ibp_step,
+                                   solver=_solver_mode())
         else:
             result = solve(frames, psf, session.shifts,
                            factor=cfg.upsample_factor,

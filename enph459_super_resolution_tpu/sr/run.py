@@ -144,9 +144,9 @@ def main(argv=None) -> int:
 
     cfg = WORKLOADS[args.workload]
     solver = args.solver or os.environ.get("SRTPU_SOLVER", "ibp")
-    if solver == "adjoint" and (args.engine != "mm" or args.sp > 1):
-        p.error("--solver adjoint runs on the banded mm engine, unsharded "
-                "(no --engine conv / --sp)")
+    if solver == "adjoint" and args.engine != "mm":
+        p.error("--solver adjoint runs on the banded mm engine (the "
+                "--sp sharded path supports it via the vjp adjoint)")
     if args.solver:
         # set only after validation: p.error above raises SystemExit, and
         # an in-process caller must not inherit a sticky solver env

@@ -124,3 +124,28 @@ def test_solve_sharded_matches_single_device():
                                np.asarray(want["ibp"]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(got["mse_history"]),
                                np.asarray(want["mse_history"]), rtol=1e-5)
+
+
+def test_sharded_adjoint_matches_unsharded_adjoint(monkeypatch):
+    """sharded_ibp(solver='adjoint') — the true adjoint taken as the vjp of
+    the per-tile patched forward — must match the unsharded adjoint solve
+    (transposed banded operators, sr.classical SRTPU_SOLVER=adjoint) over
+    the FULL array, global edges included."""
+    from enph459_super_resolution_tpu.sr.classical import solve
+
+    mesh = make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(4)
+    psf = make_gaussian_psf()
+    lrs = jnp.asarray(rng.uniform(0, 255, size=(4, 128, 48)), jnp.float32)
+    hr0 = shift_and_add(lrs, SHIFTS, 2)
+
+    monkeypatch.setenv("SRTPU_SOLVER", "adjoint")
+    want = solve(lrs, psf, SHIFTS, n_iter=6, step=2.0)
+
+    got_hr, got_errs = sharded_ibp(lrs, hr0, psf, SHIFTS, mesh,
+                                   factor=2, n_iter=6, step=2.0,
+                                   halo_lr=28, solver="adjoint")
+    np.testing.assert_allclose(np.asarray(got_errs),
+                               np.asarray(want["mse_history"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_hr),
+                               np.asarray(want["ibp"]), atol=1e-3)
