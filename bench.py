@@ -102,6 +102,14 @@ def main() -> int:
     from enph459_super_resolution_tpu.models import EDSR
     from enph459_super_resolution_tpu.sr import make_gaussian_psf, solve
 
+    # The bench owns the solver/band-store env for its duration: an
+    # inherited SRTPU_SOLVER=adjoint would silently turn every "ibp"
+    # headline row into an adjoint measurement.  Snapshot + clear here,
+    # restore before printing the result line.
+    saved_env = {k: os.environ.pop(k)
+                 for k in ("SRTPU_SOLVER", "SRTPU_BAND_STORE")
+                 if k in os.environ}
+
     dev = jax.devices()[0]
     platform = dev.platform
     rng = np.random.default_rng(0)
@@ -376,6 +384,7 @@ def main() -> int:
         "burst_fusion_s_per_burst": round(t_bf, 4),
         "smoke": bool(args.smoke),
     }
+    os.environ.update(saved_env)
     print(json.dumps(result))
     return 0
 

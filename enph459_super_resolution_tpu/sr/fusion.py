@@ -203,7 +203,12 @@ class FusionEngine:
         ``refine=0``).
         """
         lr_stack = jnp.asarray(lr_stack, jnp.float32)
-        self.check(int(lr_stack.shape[0]), self.factor)
+        # only the frame count is knowable here; the workload factor must
+        # be validated by the caller via check() (run.py / process_unit do)
+        if int(lr_stack.shape[0]) != self.n_frames:
+            raise ValueError(
+                f"fusion run {self.run_dir} was trained for "
+                f"{self.n_frames} frames; burst has {lr_stack.shape[0]}")
         shifts = jnp.asarray(shifts_yx, jnp.float32)
         fn = self._compiled(self._psf if psf is None else psf)
         return fn(self.params, lr_stack, shifts)

@@ -109,10 +109,10 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
 
     from ..eval.metrics import ssim as ssim_fn
     from ..ops import spline_zoom
-    from ..sr import classical
+    from ..sr import classical as _classical  # keep the `classical` flag visible
 
     if psf is None:
-        psf = classical.make_gaussian_psf()
+        psf = _classical.make_gaussian_psf()
     psf_j = jnp.asarray(psf, jnp.float32)
     nom = jnp.asarray(nominal, jnp.float32)
     nominal_static = tuple((float(dy), float(dx)) for dy, dx in nominal)
@@ -127,10 +127,10 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
             spline_zoom(jnp.mean(lr, axis=0), factor), 0, 255)}
         if classical:
             saa = jnp.clip(
-                classical.shift_and_add(lr, nominal_static, factor), 0, 255)
+                _classical.shift_and_add(lr, nominal_static, factor), 0, 255)
             rows["saa"] = saa
-            rows["ibp"], _ = classical.ibp(lr, nominal_static, psf_j, saa,
-                                           factor, n_iter=n_iter)
+            rows["ibp"], _ = _classical.ibp(lr, nominal_static, psf_j, saa,
+                                            factor, n_iter=n_iter)
         if apply_fn is not None:
             rows["fusion"] = fuse(apply_fn, params_arg, lr, nom, factor)
             if refine > 0:
@@ -367,9 +367,11 @@ def main(argv=None) -> int:
                         "instead of a procedural pool (field adaptation: "
                         "point at a session's HR reconstructions, then "
                         "re-run sr.run --fusion-run)")
-    p.add_argument("--tile", type=int, default=128,
+    p.add_argument("--tile", type=int, default=None,
                    help="tile side for --data-dir pools (raised to the "
-                        "training crop size if smaller)")
+                        "training crop size if smaller; training default "
+                        "128, --eval-only default: the run's recorded "
+                        "tile)")
     p.add_argument("--seed", type=int, default=None,
                    help="(training default 0; --eval-only default: the "
                         "run's recorded seed — the split depends on it)")
@@ -406,7 +408,8 @@ def main(argv=None) -> int:
         seed = (args.seed if args.seed is not None
                 else int(cfg.get("seed", 0)))
         if data_dir:
-            tile = int(cfg.get("tile") or args.tile)
+            tile = (args.tile if args.tile is not None
+                    else int(cfg.get("tile") or 128))
             pool = _tile_pool(image_pool_from_dir(data_dir, channels=1),
                               tile)
             np.random.default_rng(seed).shuffle(pool)
@@ -440,7 +443,8 @@ def main(argv=None) -> int:
                         eval_every=args.eval_every,
                         ckpt_every=args.ckpt_every,
                         resume=not args.no_resume,
-                        data_dir=args.data_dir, tile=args.tile)
+                        data_dir=args.data_dir,
+                        tile=(128 if args.tile is None else args.tile))
     print(json.dumps(final))
     return 0
 

@@ -258,6 +258,22 @@ class TestBurstTraining:
         assert cfg["model"] == "burstfusion" and cfg["frames"] == 4
         assert (tmp_path / "final_eval.json").exists()
 
+    def test_evaluate_burst_classical_false_skips_classical(self):
+        """classical=False must actually skip the SAA/IBP comparison (a
+        round-3 bug shadowed the flag with a module import, so every
+        intermediate training eval silently ran the full 80-iter IBP)."""
+        from enph459_super_resolution_tpu.train.burst import evaluate_burst
+
+        rng = np.random.default_rng(5)
+        scenes = [rng.uniform(0, 255, (40, 40)).astype(np.float32)]
+        out = evaluate_burst(None, None, scenes, n_iter=4, shave=4,
+                             classical=False)
+        assert "psnr_bicubic" in out
+        assert "psnr_saa" not in out and "psnr_ibp" not in out
+        out2 = evaluate_burst(None, None, scenes, n_iter=4, shave=4,
+                              classical=True)
+        assert "psnr_saa" in out2 and "psnr_ibp" in out2
+
     def test_burst_gen_shapes(self):
         from enph459_super_resolution_tpu.train.burst import make_burst_gen
 
