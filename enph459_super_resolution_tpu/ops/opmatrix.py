@@ -60,7 +60,10 @@ def _band_matrix(n_out: int, n_in: int, kernel: np.ndarray, offset: int,
     """M[i, map(i*stride + offset + j)] += kernel[j].
 
     ``mode=None`` means zero boundary (taps falling outside are dropped) —
-    fftconvolve-'same' semantics.
+    fftconvolve-'same' semantics.  Kept as the dense reference
+    implementation for tests; the production build path is
+    :func:`band_from_kernel`, which produces identical entries without ever
+    allocating the (n_out, n_in) matrix.
     """
     m = np.zeros((n_out, n_in), dtype=np.float64)
     rows = np.arange(n_out, dtype=np.int64)
@@ -76,13 +79,191 @@ def _band_matrix(n_out: int, n_in: int, kernel: np.ndarray, offset: int,
     return m
 
 
+# ---------------------------------------------------------------------------
+# Analytic banded construction (host side).
+#
+# Every operator this module builds is banded: row i has nonzeros only in a
+# ~40-50-wide column window.  Round 1-3 materialized the full dense
+# (n_out, n_in) float64 matrix first (12k x 12k at the flagship size) and
+# scanned it for nonzeros — 15-50 s of single-core numpy per cold config,
+# and >10 min for the batched-adjoint operator set (PERF_NOTES round-3
+# boundary).  The band entries are analytically known from the
+# kernel/shift/stride algebra, so HostBanded stores only (data[n_out, W],
+# start[n_out]) with M[i, start[i]+k] = data[i, k], and all construction,
+# composition, column decimation, and transposition run in
+# O(n_out * W * W') — milliseconds at flagship size.  The dense public
+# functions below now *derive* from this representation, so both formats
+# come from one construction algorithm (entry-for-entry identical; see
+# tests/test_opmatrix_analytic.py).
+# ---------------------------------------------------------------------------
+
+
+class HostBanded:
+    """Host-side banded matrix: ``M[i, start[i] + k] = data[i, k]``.
+
+    All nonzero columns of row ``i`` lie in ``[start[i], start[i] + W)``
+    with ``0 <= start[i]`` and ``start[i] + W <= n_in`` (windows are derived
+    from actually-touched columns, so they never overhang the matrix).
+    """
+
+    __slots__ = ("data", "start", "n_in")
+
+    def __init__(self, data: np.ndarray, start: np.ndarray, n_in: int):
+        self.data = data          # (n_out, W) float64
+        self.start = start        # (n_out,) int64
+        self.n_in = int(n_in)
+
+    @property
+    def shape(self):
+        return (self.data.shape[0], self.n_in)
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+    def to_dense(self, dtype=np.float64) -> np.ndarray:
+        n_out, w = self.data.shape
+        m = np.zeros((n_out, self.n_in), dtype=np.float64)
+        rows = np.repeat(np.arange(n_out), w)
+        cols = (self.start[:, None] + np.arange(w)[None, :]).ravel()
+        m[rows, cols] = self.data.ravel()
+        return m.astype(dtype, copy=False)
+
+    def astype(self, dtype) -> "HostBanded":
+        return HostBanded(self.data.astype(dtype), self.start, self.n_in)
+
+
+def band_from_kernel(n_out: int, n_in: int, kernel: np.ndarray, offset: int,
+                     mode: Optional[str], stride: int = 1) -> HostBanded:
+    """Banded equivalent of :func:`_band_matrix` — identical entries
+    (same tap-order accumulation), no dense intermediate."""
+    kernel = np.asarray(kernel, dtype=np.float64)
+    nk = len(kernel)
+    rows = np.arange(n_out, dtype=np.int64)
+    e = rows[:, None] * stride + offset + np.arange(nk, dtype=np.int64)[None]
+    if mode is None:
+        valid = (e >= 0) & (e < n_in)
+        mapped = np.clip(e, 0, n_in - 1)
+    else:
+        valid = np.ones(e.shape, dtype=bool)
+        mapped = _ext_index(e, n_in, mode)
+    # window = span of VALID mapped indices per row (empty rows -> [0, 1));
+    # start is clamped so start + width <= n_in holds with the GLOBAL width
+    # (rows whose own span is narrower just carry leading zeros)
+    big = np.where(valid, mapped, np.iinfo(np.int64).max)
+    start = np.minimum(big.min(axis=1), n_in - 1)
+    small = np.where(valid, mapped, np.iinfo(np.int64).min)
+    hi = np.maximum(small.max(axis=1), 0)
+    width = min(max(int((hi - start).max()) + 1, 1), n_in)
+    start = np.clip(start, 0, n_in - width)
+    data = np.zeros((n_out, width), dtype=np.float64)
+    for j in range(nk):
+        kj = kernel[j]
+        if kj == 0.0:
+            continue
+        ok = valid[:, j]
+        # distinct rows -> no intra-assignment collision; folds across
+        # different j accumulate in j order, exactly like _band_matrix
+        data[rows[ok], mapped[ok, j] - start[ok]] += kj
+    return HostBanded(data, start, n_in)
+
+
+def band_compose(a: HostBanded, b: HostBanded) -> HostBanded:
+    """``A @ B`` in banded form (requires ``a.n_in == b.shape[0]``).
+
+    Accumulates over A's taps in column order — f64 summation order differs
+    from BLAS dgemm only in the last ulps, which vanish at the f32 cast the
+    device operators take (verified entry-exact on all workload configs in
+    tests).
+    """
+    if a.n_in != b.shape[0]:
+        raise ValueError(f"compose shape mismatch: {a.shape} @ {b.shape}")
+    n_out, wa = a.data.shape
+    wb = b.data.shape[1]
+    rows_b = a.start[:, None] + np.arange(wa, dtype=np.int64)[None, :]
+    sb = b.start[rows_b]                     # (n_out, wa) contributing starts
+    c_start = sb.min(axis=1)
+    width = int((sb.max(axis=1) - c_start).max()) + wb
+    c_start = np.clip(c_start, 0, b.n_in - width)  # global-width overhang
+    data = np.zeros((n_out, width), dtype=np.float64)
+    rows = np.arange(n_out)
+    col_base = np.arange(wb, dtype=np.int64)[None, :]
+    for k in range(wa):
+        coeff = a.data[:, k]
+        ok = coeff != 0.0
+        if not ok.any():
+            continue
+        rb = rows_b[ok, k]
+        cols = (sb[ok, k] - c_start[ok])[:, None] + col_base
+        data[rows[ok, None], cols] += coeff[ok, None] * b.data[rb]
+    return HostBanded(data, c_start, b.n_in)
+
+
+def band_decimate_cols(a: HostBanded, step: int) -> HostBanded:
+    """``A[:, ::step]`` in banded form (zero-stuffed-input composition)."""
+    n_out, w = a.data.shape
+    n_in2 = (a.n_in - 1) // step + 1
+    wc = min(max((w - 1) // step + 1, 1), n_in2)
+    # first kept output column; clamped so c0 + wc <= n_in2 (slots before
+    # the row's own window read as zero via the validity mask below)
+    c0 = np.clip(-(-a.start // step), 0, n_in2 - wc)
+    cols = (c0 * step - a.start)[:, None] \
+        + np.arange(wc, dtype=np.int64)[None, :] * step
+    ok = (cols >= 0) & (cols < w)
+    data = np.where(
+        ok, a.data[np.arange(n_out)[:, None], np.clip(cols, 0, w - 1)], 0.0)
+    return HostBanded(data, c0, n_in2)
+
+
+def band_transpose(a: HostBanded) -> HostBanded:
+    """``A^T`` in banded form (adjoint-solver operators)."""
+    n_out, w = a.data.shape
+    cols = (a.start[:, None] + np.arange(w, dtype=np.int64)[None, :]).ravel()
+    rows = np.repeat(np.arange(n_out, dtype=np.int64), w)
+    first = np.full(a.n_in, n_out, dtype=np.int64)
+    np.minimum.at(first, cols, rows)
+    last = np.full(a.n_in, -1, dtype=np.int64)
+    np.maximum.at(last, cols, rows)
+    empty = last < 0
+    first[empty] = 0
+    last[empty] = 0
+    wt = min(max(int((last - first).max()) + 1, 1), n_out)
+    first = np.clip(first, 0, n_out - wt)  # keep start + width <= n_out
+    data = np.zeros((a.n_in, wt), dtype=np.float64)
+    data[cols, rows - first[cols]] = a.data.ravel()
+    return HostBanded(data, first, n_out)
+
+
+def _sampling_banded(in_size: int, coords: np.ndarray,
+                     mode: str) -> HostBanded:
+    """Banded twin of ``ops.resample._sampling_matrix`` (4 cubic taps/row,
+    SciPy out-of-range index mapping) — identical entries."""
+    from .resample import _map_index
+
+    coords = np.asarray(coords, dtype=np.float64)
+    j = np.floor(coords).astype(np.int64)
+    t = coords - j
+    w4 = cubic_bspline_weights(t)            # (n_out, 4)
+    idx = j[:, None] - 1 + np.arange(4, dtype=np.int64)[None, :]
+    mapped = _map_index(idx, in_size, mode)
+    start = mapped.min(axis=1)
+    width = min(int((mapped.max(axis=1) - start).max()) + 1, in_size)
+    start = np.clip(start, 0, in_size - width)
+    data = np.zeros((len(coords), width), dtype=np.float64)
+    rows = np.arange(len(coords))
+    for k in range(4):  # folds accumulate in k order, like _sampling_matrix
+        np.add.at(data, (rows, mapped[:, k] - start), w4[:, k])
+    return HostBanded(data, start, in_size)
+
+
 @functools.lru_cache(maxsize=None)
-def shift_op_matrix(n_in: int, delta: float, mode: str = "nearest",
+def shift_op_banded(n_in: int, delta: float, mode: str = "nearest",
                     stride: int = 1, n_out: Optional[int] = None,
                     blur_taps: Optional[Tuple[float, ...]] = None,
                     blur_first: bool = True,
-                    dtype_name: str = "float32") -> np.ndarray:
-    """Matrix for ``decimate(shift(blur(x)))`` (or blur-last) along one axis.
+                    dtype_name: str = "float32") -> HostBanded:
+    """Banded operator for ``decimate(shift(blur(x)))`` (or blur-last)
+    along one axis — the analytic build (no dense intermediate).
 
     * shift: ``out[i] = spline(x)(i - delta)``, order-3, SciPy 'nearest'
       boundary (reference ``ndi_shift`` semantics).
@@ -90,6 +271,9 @@ def shift_op_matrix(n_in: int, delta: float, mode: str = "nearest",
       applied with zero boundary (fftconvolve-'same' semantics), before the
       shift (forward model) or after it (back-projection).
     * stride: output decimation (forward model's ``[::f]``).
+
+    ``dtype_name`` selects the prefilter truncation length (the band stays
+    float64 until the device cast).
     """
     h = bspline_prefilter_kernel(dtype_name)
     hw = (len(h) - 1) // 2
@@ -101,54 +285,86 @@ def shift_op_matrix(n_in: int, delta: float, mode: str = "nearest",
 
     n_out = n_out if n_out is not None else (n_in - 1) // stride + 1
     if blur_taps is None:
-        return _band_matrix(n_out, n_in, g, offset, mode, stride).astype(
-            np.dtype(dtype_name))
+        return band_from_kernel(n_out, n_in, g, offset, mode, stride)
 
     taps = np.asarray(blur_taps, dtype=np.float64)
     bhw = (len(taps) - 1) // 2
     if blur_first:
         # shift matrix maps blurred -> out; blur matrix maps in -> blurred
-        m_shift = _band_matrix(n_out, n_in, g, offset, mode, stride)
-        m_blur = _band_matrix(n_in, n_in, taps, -bhw, None)
-        m = m_shift @ m_blur
-    else:
-        m_blur = _band_matrix(n_out, n_out, taps, -bhw, None)
-        m_shift = _band_matrix(n_out, n_in, g, offset, mode, stride)
-        m = m_blur @ m_shift
-    return m.astype(np.dtype(dtype_name))
+        b_shift = band_from_kernel(n_out, n_in, g, offset, mode, stride)
+        b_blur = band_from_kernel(n_in, n_in, taps, -bhw, None)
+        return band_compose(b_shift, b_blur)
+    b_blur = band_from_kernel(n_out, n_out, taps, -bhw, None)
+    b_shift = band_from_kernel(n_out, n_in, g, offset, mode, stride)
+    return band_compose(b_blur, b_shift)
+
+
+def shift_op_matrix(n_in: int, delta: float, mode: str = "nearest",
+                    stride: int = 1, n_out: Optional[int] = None,
+                    blur_taps: Optional[Tuple[float, ...]] = None,
+                    blur_first: bool = True,
+                    dtype_name: str = "float32") -> np.ndarray:
+    """Dense view of :func:`shift_op_banded` (kept for tests/tools; the
+    solve path consumes the banded form directly)."""
+    return shift_op_banded(
+        n_in, delta, mode=mode, stride=stride, n_out=n_out,
+        blur_taps=blur_taps, blur_first=blur_first,
+        dtype_name=dtype_name).to_dense(np.dtype(dtype_name))
 
 
 @functools.lru_cache(maxsize=None)
+def stuff_shift_op_banded(n_lr: int, factor: int, delta: float,
+                          mode: str = "nearest",
+                          blur_taps: Optional[Tuple[float, ...]] = None,
+                          dtype_name: str = "float32") -> HostBanded:
+    """Banded back-projection operator along one axis:
+    ``blur(shift(zero_stuff(err)))`` (reference
+    ``mono_barcodes/run_sr.py:199-209``): (n_lr*factor, n_lr)."""
+    n_hr = n_lr * factor
+    # shift operator on the HR grid (n_hr x n_hr), then keep only the
+    # zero-stuffed source columns (every factor-th).  The prefilter is
+    # always the float64-truncated FIR here (matching the historical dense
+    # build, which composed via a float64 intermediate).
+    del dtype_name  # part of the cache key / dense-cast API only
+    b_shift = shift_op_banded(n_hr, delta, mode=mode, blur_taps=blur_taps,
+                              blur_first=False, dtype_name="float64")
+    return band_decimate_cols(b_shift, factor)
+
+
 def stuff_shift_op_matrix(n_lr: int, factor: int, delta: float,
                           mode: str = "nearest",
                           blur_taps: Optional[Tuple[float, ...]] = None,
                           dtype_name: str = "float32") -> np.ndarray:
-    """Matrix for back-projection along one axis:
-    ``blur(shift(zero_stuff(err)))`` (reference
-    ``mono_barcodes/run_sr.py:199-209``): (n_lr*factor, n_lr)."""
-    n_hr = n_lr * factor
-    # shift matrix on the HR grid (n_hr x n_hr), then keep only the
-    # zero-stuffed source columns (every factor-th).
-    m_shift = shift_op_matrix(n_hr, delta, mode=mode, blur_taps=blur_taps,
-                              blur_first=False, dtype_name="float64")
-    m = m_shift[:, ::factor]
-    return m.astype(np.dtype(dtype_name))
+    """Dense view of :func:`stuff_shift_op_banded`."""
+    return stuff_shift_op_banded(
+        n_lr, factor, delta, mode=mode, blur_taps=blur_taps,
+        dtype_name=dtype_name).to_dense(np.dtype(dtype_name))
 
 
 @functools.lru_cache(maxsize=None)
-def zoom_op_matrix(n_in: int, factor: float, mode: str = "mirror",
-                   dtype_name: str = "float32") -> np.ndarray:
-    """Single matrix for SciPy ``ndimage.zoom(order=3)`` along one axis:
+def zoom_op_banded(n_in: int, factor: float, mode: str = "mirror",
+                   dtype_name: str = "float32") -> HostBanded:
+    """Banded operator for SciPy ``ndimage.zoom(order=3)`` along one axis:
     cubic sampling on the endpoint-aligned grid composed with the spline
     prefilter (boundary-exact, see ops.resample.spline_zoom)."""
-    from .resample import _sampling_matrix, zoom_coords
+    from .resample import zoom_coords
 
+    del dtype_name  # cache key / dense-cast API only; build is float64
     n_out, coords = zoom_coords(n_in, factor)
-    m_sample = _sampling_matrix(n_in, tuple(coords), mode, "float64")
+    del n_out
+    b_sample = _sampling_banded(n_in, coords, mode)
     h = bspline_prefilter_kernel("float64")
     hw = (len(h) - 1) // 2
-    m_pref = _band_matrix(n_in, n_in, h, -hw, mode)
-    return (m_sample @ m_pref).astype(np.dtype(dtype_name))
+    b_pref = band_from_kernel(n_in, n_in, h, -hw, mode)
+    return band_compose(b_sample, b_pref)
+
+
+def zoom_op_matrix(n_in: int, factor: float, mode: str = "mirror",
+                   dtype_name: str = "float32") -> np.ndarray:
+    """Dense view of :func:`zoom_op_banded`."""
+    return zoom_op_banded(n_in, factor, mode=mode,
+                          dtype_name=dtype_name).to_dense(
+                              np.dtype(dtype_name))
 
 
 def psf_separable_factors(psf: np.ndarray, rel_tol: float = 1e-6):
@@ -245,13 +461,50 @@ class BandedOp:
                 m[r0:r1, lo:hi], dtype=np.dtype(dtype_name)))
             ranges.append((lo, hi))
         op = cls(blocks, ranges, n_out, n_in)
+        return cls._maybe_pack(op, pack_pallas)
+
+    @classmethod
+    def from_banded(cls, hb: HostBanded, block: int = None,
+                    dtype_name: str = "float32",
+                    pack_pallas: Optional[bool] = None) -> "BandedOp":
+        """Block decomposition straight from a :class:`HostBanded` — no
+        dense (n_out, n_in) intermediate.  Produces the same blocks and
+        column ranges :meth:`from_matrix` would on ``hb.to_dense()``:
+        per-block windows are trimmed to actually-nonzero columns of the
+        dtype-cast entries."""
+        block = _BAND_BLOCK if block is None else block
+        dtype = np.dtype(dtype_name)
+        n_out = hb.data.shape[0]
+        cast = hb.data.astype(dtype, copy=False)
+        blocks, ranges = [], []
+        for r0 in range(0, n_out, block):
+            r1 = min(r0 + block, n_out)
+            d = cast[r0:r1]
+            s = hb.start[r0:r1]
+            nzr, nzc = np.nonzero(d)
+            if len(nzr):
+                cols_abs = s[nzr] + nzc
+                lo, hi = int(cols_abs.min()), int(cols_abs.max()) + 1
+            else:
+                lo, hi = 0, 1
+                cols_abs = nzc
+            sub = np.zeros((r1 - r0, hi - lo), dtype=dtype)
+            sub[nzr, cols_abs - lo] = d[nzr, nzc]
+            blocks.append(sub)
+            ranges.append((lo, hi))
+        op = cls(blocks, ranges, n_out, hb.n_in)
+        return cls._maybe_pack(op, pack_pallas)
+
+    @classmethod
+    def _maybe_pack(cls, op: "BandedOp",
+                    pack_pallas: Optional[bool]) -> "BandedOp":
         if pack_pallas is None:
             pack_pallas = _pallas_rows_enabled()
-        if pack_pallas and len(blocks) > 1:
+        if pack_pallas and len(op.blocks) > 1:
             from .pallas_kernels import pack_banded
 
             starts, bands, _ = pack_banded(op)
-            if (starts + bands.shape[-1] <= n_in).all():
+            if (starts + bands.shape[-1] <= op.n_in).all():
                 op.packed = (starts, bands)
             # else: lane-padded window exceeds the input (tiny axis) — the
             # windowed DMA would run off the end; stay on the XLA path

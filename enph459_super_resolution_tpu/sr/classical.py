@@ -40,10 +40,11 @@ from ..ops import conv2d_same, correlate2d_same, spline_shift, spline_zoom
 from ..ops.opmatrix import (
     apply_col,
     apply_row,
+    band_transpose,
     psf_separable_factors,
-    shift_op_matrix,
-    stuff_shift_op_matrix,
-    zoom_op_matrix,
+    shift_op_banded,
+    stuff_shift_op_banded,
+    zoom_op_banded,
 )
 
 # Constants shared by all four reference workloads
@@ -124,9 +125,11 @@ def native_upsample(lr_mean, factor: int = UPSAMPLE_FACTOR):
 # ---------------------------------------------------------------------------
 
 
-def _frame_operator_matrices(psf, shift_yx, factor: int, lr_shape,
-                             dtype_name, solver: str = "ibp"):
-    """(fwd_row, fwd_col, bwd_row, bwd_col) lists over PSF rank terms.
+def _frame_operator_banded(psf, shift_yx, factor: int, lr_shape,
+                           dtype_name, solver: str = "ibp"):
+    """(fwd_row, fwd_col, bwd_row, bwd_col) :class:`HostBanded` lists over
+    PSF rank terms — the analytic host build (no dense intermediates; the
+    dense view for tests/the fused pack is :func:`_frame_operator_matrices`).
 
     Forward: sim = sum_k R_k @ HR @ C_k^T  ==  decimate(shift(conv2d(HR))).
     Backward (solver='ibp', the reference's heuristic back-projection):
@@ -146,24 +149,35 @@ def _frame_operator_matrices(psf, shift_yx, factor: int, lr_shape,
     fwd_r, fwd_c, bwd_r, bwd_c = [], [], [], []
     for u, v in zip(rows_u, cols_v):
         # forward blur is a true convolution -> correlation taps = flipped
-        fwd_r.append(shift_op_matrix(
+        fwd_r.append(shift_op_banded(
             h_lr * factor, dy * factor, stride=factor, n_out=h_lr,
             blur_taps=tuple(u[::-1]), blur_first=True, dtype_name=dtype_name))
-        fwd_c.append(shift_op_matrix(
+        fwd_c.append(shift_op_banded(
             w_lr * factor, dx * factor, stride=factor, n_out=w_lr,
             blur_taps=tuple(v[::-1]), blur_first=True, dtype_name=dtype_name))
         if solver == "adjoint":
-            bwd_r.append(np.ascontiguousarray(fwd_r[-1].T))
-            bwd_c.append(np.ascontiguousarray(fwd_c[-1].T))
+            bwd_r.append(band_transpose(fwd_r[-1]))
+            bwd_c.append(band_transpose(fwd_c[-1]))
             continue
         # back-projection correlates with the PSF -> taps unflipped
-        bwd_r.append(stuff_shift_op_matrix(
+        bwd_r.append(stuff_shift_op_banded(
             h_lr, factor, -dy * factor, blur_taps=tuple(u),
             dtype_name=dtype_name))
-        bwd_c.append(stuff_shift_op_matrix(
+        bwd_c.append(stuff_shift_op_banded(
             w_lr, factor, -dx * factor, blur_taps=tuple(v),
             dtype_name=dtype_name))
     return fwd_r, fwd_c, bwd_r, bwd_c
+
+
+def _frame_operator_matrices(psf, shift_yx, factor: int, lr_shape,
+                             dtype_name, solver: str = "ibp"):
+    """Dense view of :func:`_frame_operator_banded` (tests; the fused-IBP
+    pack, which wants contiguous windows)."""
+    dt = np.dtype(dtype_name)
+    return tuple([hb.to_dense(dt) for hb in ops]
+                 for ops in _frame_operator_banded(
+                     psf, shift_yx, factor, lr_shape, dtype_name,
+                     solver=solver))
 
 
 def forward_model_mm(hr, mats):
@@ -300,51 +314,60 @@ def _hybrid_tail(band_store: str) -> int:
 
 
 def _host_solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
-                         reps=1, solver="ibp"):
+                         reps=1, solver="ibp", dense_frames=False):
     """Host-side (numpy) build of one solve config's operator pytree.
 
-    ~15-50 s of single-core scipy/numpy work at the flagship 1536x2048
-    size, so :func:`_solve_matrices` memoizes the result on disk keyed by
-    every input that shapes the blocks.
+    Fully analytic since round 4: operators are built as
+    :class:`~..ops.opmatrix.HostBanded` bands straight from the
+    kernel/shift/stride algebra and block-decomposed without ever
+    materializing a dense (n_out, n_in) matrix — the cold flagship build
+    dropped from 15-50 s (and >10 min for the 4-rep-tiled adjoint set) of
+    single-core numpy to well under a second.  The disk cache in
+    :func:`_solve_matrices` now mostly pays for the *upload* dedup, not
+    the build.
 
-    Returns ``(mats, frame_mats)`` where ``frame_mats`` is the raw dense
-    per-frame operator matrix list — built exactly once and reused both
-    for the banded 'frames' decomposition here and (when the fused engine
-    is enabled) for :meth:`FusedIBP.build`.
+    Returns ``(mats, frame_mats)``; ``frame_mats`` is the dense per-frame
+    operator matrix list, built only when ``dense_frames`` (the fused
+    engine's :meth:`FusedIBP.build` consumes it), else None.
     """
     from ..ops.opmatrix import BandedOp
 
-    def bc(m):
+    def bc(hb):
         # column operators: col_apply contracts the blocks directly and
         # never takes the Pallas row path, so packing bands for them would
         # only inflate the upload/HBM footprint (~16% of the payload)
-        return BandedOp.from_matrix(m, dtype_name=dtype_name,
+        return BandedOp.from_banded(hb, dtype_name=dtype_name,
                                     pack_pallas=False)
 
-    def br(m):
+    def br(hb):
         return BandedOp.tiled(
-            BandedOp.from_matrix(m, dtype_name=dtype_name), reps)
+            BandedOp.from_banded(hb, dtype_name=dtype_name), reps)
 
     h_lr, w_lr = lr_shape
-    frame_mats = [_frame_operator_matrices(psf, s, factor, lr_shape,
-                                           dtype_name, solver=solver)
-                  for s in shifts_yx]
+    frame_bands = [_frame_operator_banded(psf, s, factor, lr_shape,
+                                          dtype_name, solver=solver)
+                   for s in shifts_yx]
     mats = {
-        "zoom_r": br(zoom_op_matrix(h_lr, factor, dtype_name=dtype_name)),
-        "zoom_c": bc(zoom_op_matrix(w_lr, factor, dtype_name=dtype_name)),
-        "saa": [(br(shift_op_matrix(h_lr * factor, dy * factor,
+        "zoom_r": br(zoom_op_banded(h_lr, factor, dtype_name=dtype_name)),
+        "zoom_c": bc(zoom_op_banded(w_lr, factor, dtype_name=dtype_name)),
+        "saa": [(br(shift_op_banded(h_lr * factor, dy * factor,
                                     dtype_name=dtype_name)),
-                 bc(shift_op_matrix(w_lr * factor, dx * factor,
+                 bc(shift_op_banded(w_lr * factor, dx * factor,
                                     dtype_name=dtype_name)))
                 for dy, dx in shifts_yx],
-        "frames": [tuple([(br if axis % 2 == 0 else bc)(m) for m in ms]
-                         for axis, ms in enumerate(fr))
-                   for fr in frame_mats],
+        "frames": [tuple([(br if axis % 2 == 0 else bc)(hb) for hb in ops]
+                         for axis, ops in enumerate(fr))
+                   for fr in frame_bands],
     }
+    frame_mats = None
+    if dense_frames:
+        dt = np.dtype(dtype_name)
+        frame_mats = [tuple([hb.to_dense(dt) for hb in ops] for ops in fr)
+                      for fr in frame_bands]
     return mats, frame_mats
 
 
-_OP_CACHE_VERSION = 3  # v3: fused frame matrices cached; uid-scoped dir
+_OP_CACHE_VERSION = 4  # v4: analytic banded build (f64 compose in tap order)
 
 
 def _device_put_dedup(tree):
@@ -463,7 +486,8 @@ def _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name, reps=1,
     if cached is None:
         mats, frame_mats = _host_solve_matrices(psf, shifts_yx, factor,
                                                 lr_shape, dtype_name, reps,
-                                                solver=solver)
+                                                solver=solver,
+                                                dense_frames=fused_on)
         cached = {"mats": mats}
         if fused_on:
             cached["frame_mats"] = frame_mats
