@@ -5,6 +5,13 @@ Restores a checkpoint produced by ``train.loop`` and reports PSNR/SSIM
 bicubic baseline over a directory of HR images (or the hermetic synthetic
 pool when no directory is given).
 
+The full protocol is oracle-pinned (tests/test_matlab_imresize_oracle.py):
+the bicubic degradation/baseline is MATLAB ``imresize`` semantics verified
+entry-for-entry (edges included) against an independent loop-level
+reimplementation of the published algorithm, and the BT.601 Y-channel +
+shave chain is checked against hand-computed values — so
+``--data-dir Set5`` produces literature-comparable numbers as-is.
+
   python -m enph459_super_resolution_tpu.train.evaluate \
       --model espcn --scale 2 --channels 1 --run /tmp/sr_train \
       [--data-dir Set5] [--ema/--raw] \
