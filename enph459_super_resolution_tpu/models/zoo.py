@@ -19,6 +19,7 @@ import functools
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .common import MeanShift, ResBlock, Upsampler, pixel_shuffle
@@ -169,6 +170,95 @@ class EDSR(nn.Module):
             x = x + head
             x = Upsampler(self.scale, self.n_feats, dtype=self.dtype)(x)
             x = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
+        return MeanShift(sign=+1, scale=self.rgb_range)(x)
+
+
+class _ExpertBranch(nn.Module):
+    """One expert's residual branch (conv-relu-conv, no skip — the skip and
+    res_scale live in :class:`MoEResBlock` so the gated blend stays a pure
+    residual)."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        r = nn.Conv(self.features, (3, 3), dtype=self.dtype)(x)
+        r = nn.relu(r)
+        return nn.Conv(self.features, (3, 3), dtype=self.dtype)(r)
+
+
+class MoEResBlock(nn.Module):
+    """Spatially-gated mixture-of-experts residual block.
+
+    In an SR conv stack the natural MoE is *spatial* (parallel/moe.py
+    design note): each output pixel softly blends E expert branches (e.g.
+    a smooth-region expert vs an edge/texture expert) with a per-pixel
+    softmax gate (1x1 conv).  Dense soft gating — every expert computes,
+    the gate weighs outputs — so there is no a2a/capacity machinery, and
+    the expert dim is a clean ``ep`` mesh axis: params carry a leading
+    ``[E, ...]`` axis (``nn.vmap``); shard it over ``ep``
+    (:func:`~..parallel.moe.shard_params_ep_named`) and GSPMD computes
+    E/ep experts per device, combining with one psum — the same schedule
+    :func:`~..parallel.moe.moe_apply` hand-writes with shard_map.
+    """
+
+    features: int
+    n_experts: int = 4
+    res_scale: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gate = nn.Conv(self.n_experts, (1, 1), dtype=self.dtype,
+                       name="gate")(x)
+        # softmax in f32: bf16 trunks keep routing numerically stable
+        gate = jax.nn.softmax(gate.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)
+        experts = nn.vmap(
+            _ExpertBranch, in_axes=None, out_axes=0,
+            variable_axes={"params": 0}, split_rngs={"params": True},
+            axis_size=self.n_experts)(self.features, self.dtype,
+                                      name="experts")
+        ys = experts(x)  # [E, B, H, W, C]
+        r = jnp.einsum("ebhwc,bhwe->bhwc", ys, gate)
+        return x + r * self.res_scale
+
+
+class EDSRMoE(nn.Module):
+    """EDSR-class trunk with gated mixture-of-experts residual blocks.
+
+    Identical head/tail/upsampler to :class:`EDSR`; every trunk block is a
+    :class:`MoEResBlock` (E experts, per-pixel soft gate).  Capacity
+    scales with ``n_experts`` while the per-device cost under an ``ep``
+    mesh axis stays at E/ep expert branches; trained via
+    ``train.loop --model edsr_moe --mesh "dp=2,ep=4"``
+    (loss-trajectory parity with the unsharded evaluation pinned in
+    tests/test_moe_parallel.py, the pipeline-parallel standard).
+    """
+
+    scale: int = 4
+    channels: int = 3
+    n_resblocks: int = 8
+    n_feats: int = 64
+    n_experts: int = 4
+    res_scale: float = 1.0
+    rgb_range: float = 255.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = MeanShift(sign=-1, scale=self.rgb_range)(x)
+        x = x.astype(self.dtype)
+        x = head = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
+        for _ in range(self.n_resblocks):
+            x = MoEResBlock(self.n_feats, self.n_experts, self.res_scale,
+                            dtype=self.dtype)(x)
+        x = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(x)
+        x = x + head
+        x = Upsampler(self.scale, self.n_feats, dtype=self.dtype)(x)
+        x = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(x)
         x = x.astype(jnp.float32)
         return MeanShift(sign=+1, scale=self.rgb_range)(x)
 
@@ -331,6 +421,7 @@ MODELS = {
     "fsrcnn": FSRCNN,
     "burstfusion": BurstFusion,
     "edsr": EDSR,
+    "edsr_moe": EDSRMoE,
     "rrdbnet": RRDBNet,
 }
 

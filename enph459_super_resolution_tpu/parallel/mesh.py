@@ -65,6 +65,30 @@ def parse_mesh_spec(spec: str) -> Dict[str, int]:
     return axes
 
 
+def parse_sp_spec(spec) -> tuple:
+    """Parse a spatial-sharding spec into ``(sp_h, sp_w)``.
+
+    ``4`` / ``"4"`` -> (4, 1) rows-only strips; ``"4x2"`` -> (4, 2) H x W
+    tiles (``sr.run --sp 4x2``).  ``(h, w)`` tuples pass through.
+    """
+    if isinstance(spec, int):
+        h, w = spec, 1
+    elif isinstance(spec, (tuple, list)):
+        if len(spec) != 2:
+            raise ValueError(f"sp spec tuple must be (h, w), got {spec!r}")
+        h, w = int(spec[0]), int(spec[1])
+    else:
+        parts = str(spec).lower().split("x")
+        if len(parts) > 2 or not all(p.strip().isdigit() for p in parts):
+            raise ValueError(
+                f"sp spec must be N or NxM (e.g. 8 or 4x2), got {spec!r}")
+        h = int(parts[0])
+        w = int(parts[1]) if len(parts) == 2 else 1
+    if h < 1 or w < 1:
+        raise ValueError(f"sp factors must be >= 1, got {h}x{w}")
+    return h, w
+
+
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Shard the leading (batch) dim over ``axis``, replicate the rest."""
     return NamedSharding(mesh, P(axis))

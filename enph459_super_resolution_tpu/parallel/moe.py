@@ -87,3 +87,27 @@ def shard_params_ep(stacked_params, mesh: Mesh, axis: str = "ep"):
     from .mesh import shard_params_leading
 
     return shard_params_leading(stacked_params, mesh, axis)
+
+
+def shard_params_ep_named(params, mesh: Mesh, axis: str = "ep",
+                          key: str = "experts"):
+    """Expert-parallel placement for a FULL model param tree: leaves whose
+    path contains ``key`` (the ``nn.vmap``-stacked expert subtrees, e.g.
+    ``models.zoo.MoEResBlock``'s ``experts``) get their leading ``[E,...]``
+    dim sharded over ``axis``; everything else (head/tail/gates) is
+    replicated.  GSPMD then computes E/ep expert branches per device and
+    inserts one psum for the gated combine — the jit-native counterpart of
+    :func:`moe_apply`'s explicit shard_map schedule."""
+    from jax.sharding import NamedSharding
+
+    ep = mesh.shape[axis]
+
+    def put(path, a):
+        on_experts = any(key in str(getattr(k, "key", k)) for k in path)
+        if on_experts and a.ndim >= 1 and a.shape[0] % ep == 0:
+            spec = P(*([axis] + [None] * (a.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)

@@ -2,8 +2,9 @@
 
 The reference processes 12.6-Mpixel HR grids monolithically (SURVEY.md §5
 "long-context" note); the TPU-native scaling axis is the image plane:
-shard H over a mesh axis, exchange overlap halos between neighbours with
-``ppermute`` (pure ICI neighbour traffic), compute per tile, keep interiors.
+shard H (and optionally W) over mesh axes, exchange overlap halos between
+neighbours with ``ppermute`` (pure ICI neighbour traffic), compute per
+tile, keep interiors.
 
 Consumers:
   * :func:`tiled_apply` — one-shot tiled inference for any shift-invariant
@@ -15,25 +16,37 @@ Consumers:
     tile interior equal to the unsharded solve to float tolerance while the
     whole 50-80 iteration loop runs distributed.
 
-Boundary semantics: at the two global image edges there is no neighbour.
+Both accept a 1-D (rows) or 2-D (rows x columns) spatial mesh: pass
+``sp_axis=("sp", "spw")`` to shard H over ``sp`` and W over ``spw``
+(``sr.run --sp 4x2``).  2-D sharding keeps tiles square-ish as the device
+count grows — at sp=8 the rgb workloads' 768-row LR leaves 96-row strips
+against a 64-row halo (~67% overhead), while a 4x2 mesh's 192x512 tiles
+cut halo traffic ~2.4x and W-heavy images shard past the row count.
+Corner exchange falls out of sequencing the two 1-D exchanges: the W
+exchange ships columns of the already-H-extended tile, so corner blocks
+arrive via the lateral neighbour without explicit diagonal sends.
+
+Boundary semantics: at the global image edges there is no neighbour.
 For :func:`tiled_apply` halos there are edge-replicated or zero-filled per
 ``edge_mode``.  :func:`sharded_ibp` reproduces the unsharded solve's
 boundary condition *exactly* (full-array allclose, no edge trim): each IBP
 stage has its own boundary prior in the unsharded op chain — zero padding
 for the PSF convolutions, SciPy-'nearest' extension of the *blurred* grid
 for the forward shift, 'nearest' extension of the *zero-stuffed* error
-grid (solid rows, not an interleaved pattern) for the back-projection
-shift — so the edge tiles patch their halo contents between stages with
-``jnp.where(axis_index == edge)`` fixups instead of using one halo fill
-for the whole chain.  The only remaining difference is the 'nearest'
-extension's switch from edge-replication to symmetric reflection 25 rows
-past the edge, whose influence re-enters through the spline prefilter's
-IIR tail at |sqrt(3)-2|^25 ~ 1e-15 — below f32 epsilon.
+grid (solid rows/columns, not an interleaved pattern) for the back-
+projection shift — so the edge tiles patch their halo contents between
+stages with ``jnp.where(axis_index == edge)`` fixups instead of using one
+halo fill for the whole chain.  Patching H before W makes the corner halo
+equal the replicated corner pixel — exactly SciPy's separable 'nearest'
+extension.  The only remaining difference is the 'nearest' extension's
+switch from edge-replication to symmetric reflection 25 samples past the
+edge, whose influence re-enters through the spline prefilter's IIR tail at
+|sqrt(3)-2|^25 ~ 1e-15 — below f32 epsilon.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +54,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import conv2d_same, correlate2d_same, spline_shift
+
+SpAxes = Union[str, Sequence[str]]
+
+
+def _sp_tuple(sp_axis: SpAxes) -> Tuple[str, ...]:
+    axes = (sp_axis,) if isinstance(sp_axis, str) else tuple(sp_axis)
+    if not 1 <= len(axes) <= 2:
+        raise ValueError(f"sp_axis must name 1 or 2 mesh axes, got {axes}")
+    return axes
 
 
 def _edge_block(x, halo: int, axis: int, top: bool):
@@ -60,7 +82,9 @@ def halo_exchange(x, halo: int, axis_name: str, axis: int = 0,
     'edge'``, SciPy-style boundary for the classical ops) or zeros
     (``'zero'``, matching SAME-conv semantics for NN trunks).
 
-    (..., T, ...) -> (..., halo + T + halo, ...), two ppermutes.
+    (..., T, ...) -> (..., halo + T + halo, ...), two ppermutes.  For a
+    2-D spatial mesh, call once per axis — the second exchange ships
+    slices of the already-extended tile, which carries the corner blocks.
     """
     n = jax.lax.axis_size(axis_name)
     axis = axis % x.ndim
@@ -92,7 +116,7 @@ def halo_exchange(x, halo: int, axis_name: str, axis: int = 0,
 
 
 def tiled_apply(fn: Callable, img, mesh: Mesh, halo: int,
-                sp_axis: str = "sp", axis: int = -2, out_scale: int = 1,
+                sp_axis: SpAxes = "sp", axis=-2, out_scale: int = 1,
                 edge_mode: str = "edge"):
     """Apply a local op to a spatially-sharded image, exactly.
 
@@ -100,27 +124,39 @@ def tiled_apply(fn: Callable, img, mesh: Mesh, halo: int,
       fn: shift-invariant local function (tile -> tile, same leading dims);
         receptive-field radius must be <= ``halo``.  If it upsamples by
         ``out_scale``, output tiles are ``T * out_scale`` tall.
-      img: full image (..., H, W); H divisible by the sp axis size.
-      halo: overlap in *input* pixels.
+      img: full image (..., H, W); sharded dims divisible by their axis.
+      mesh: mesh holding the ``sp_axis`` axes.
+      halo: overlap in *input* pixels (same for both axes when 2-D).
+      sp_axis: one mesh-axis name (shard ``axis``) or two (shard ``axis``
+        and ``axis + 1`` — H x W tiling with corner exchange).
+      axis: the (first) spatial dim of ``img``.
 
     Returns the full output, interiors stitched (still sharded on device).
     """
-    nsp = mesh.shape[sp_axis]
+    sp_axes = _sp_tuple(sp_axis)
     ndim = img.ndim
-    axis_n = axis % ndim
-    if img.shape[axis_n] % nsp != 0:
-        raise ValueError(f"H={img.shape[axis_n]} not divisible by sp={nsp}")
+    ax0 = axis % ndim
+    axes_n = tuple(ax0 + k for k in range(len(sp_axes)))
+    for a, name in zip(axes_n, sp_axes):
+        nsp = mesh.shape[name]
+        if img.shape[a] % nsp != 0:
+            raise ValueError(
+                f"dim {a} ({img.shape[a]}) not divisible by {name}={nsp}")
 
     def shard_fn(tile):
-        ext = halo_exchange(tile, halo, sp_axis, axis_n, edge_mode)
+        ext = tile
+        for a, name in zip(axes_n, sp_axes):
+            ext = halo_exchange(ext, halo, name, a, edge_mode)
         out = fn(ext)
         s = out_scale
         sl = [slice(None)] * out.ndim
-        sl[axis_n] = slice(halo * s, halo * s + tile.shape[axis_n] * s)
+        for a in axes_n:
+            sl[a] = slice(halo * s, halo * s + tile.shape[a] * s)
         return out[tuple(sl)]
 
     spec_list = [None] * ndim
-    spec_list[axis_n] = sp_axis
+    for a, name in zip(axes_n, sp_axes):
+        spec_list[a] = name
     spec = P(*spec_list)
 
     mapped = jax.shard_map(shard_fn, mesh=mesh, in_specs=(spec,),
@@ -129,53 +165,71 @@ def tiled_apply(fn: Callable, img, mesh: Mesh, halo: int,
     return jax.jit(mapped)(img)
 
 
-def _patch_halos(x, halo: int, idx, nsp: int, top_blk, bot_blk):
-    """Replace the outer ``halo`` rows with the given blocks, but only on
-    the devices holding a global edge (``idx == 0`` / ``idx == nsp - 1``).
-    Interior devices keep their exchanged neighbour rows untouched."""
-    top_fixed = jnp.concatenate([top_blk, x[halo:]], axis=0)
+def _patch_halos(x, halo: int, idx, nsp: int, top_blk, bot_blk,
+                 axis: int = 0):
+    """Replace the outer ``halo`` slices along ``axis`` with the given
+    blocks, but only on the devices holding a global edge (``idx == 0`` /
+    ``idx == nsp - 1``).  Interior devices keep their exchanged neighbour
+    slices untouched."""
+    sl_tail = [slice(None)] * x.ndim
+    sl_tail[axis] = slice(halo, None)
+    top_fixed = jnp.concatenate([top_blk, x[tuple(sl_tail)]], axis=axis)
     x = jnp.where(idx == 0, top_fixed, x)
-    bot_fixed = jnp.concatenate([x[:-halo], bot_blk], axis=0)
+    sl_head = [slice(None)] * x.ndim
+    sl_head[axis] = slice(0, x.shape[axis] - halo)
+    bot_fixed = jnp.concatenate([x[tuple(sl_head)], bot_blk], axis=axis)
     return jnp.where(idx == nsp - 1, bot_fixed, x)
 
 
-def _rep_row(x, row: int, halo: int):
-    """``halo`` copies of row ``row`` — SciPy-'nearest' edge extension."""
-    return jnp.tile(x[row:row + 1], (halo, 1))
+def _rep_slice(x, pos: int, halo: int, axis: int = 0):
+    """``halo`` copies of slice ``pos`` along ``axis`` — SciPy-'nearest'
+    edge extension."""
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(pos, pos + 1)
+    reps = [1] * x.ndim
+    reps[axis] = halo
+    return jnp.tile(x[tuple(sl)], reps)
 
 
 def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
                 factor: int = 2, n_iter: int = 80, step: float = 0.5,
-                halo_lr: int = 32, sp_axis: str = "sp",
+                halo_lr: int = 32, sp_axis: SpAxes = "sp",
                 clip=(0.0, 255.0), solver: str = "ibp"):
     """Classical IBP with the image plane sharded over ``sp_axis``.
 
     Per iteration and per device: refresh the HR tile's halo from its
-    neighbours (2 ppermutes of ``halo_lr * factor`` rows over ICI), run one
-    IBP update on the extended tile, keep the interior.  One iteration's
-    support radius (7x7 PSF + ~19-tap spline-phase kernels, twice) is well
-    under ``halo_lr * factor``, so interiors match the unsharded solve to
-    float tolerance.  The monitored MSE is computed over interiors only and
-    ``pmean``-reduced, matching the unsharded per-iteration MSE.
+    neighbours (2 ppermutes of ``halo_lr * factor`` rows over ICI per
+    sharded axis), run one IBP update on the extended tile, keep the
+    interior.  One iteration's support radius (7x7 PSF + ~19-tap
+    spline-phase kernels, twice) is well under ``halo_lr * factor``, so
+    interiors match the unsharded solve to float tolerance.  The monitored
+    MSE is computed over interiors only and ``pmean``-reduced, matching
+    the unsharded per-iteration MSE.
+
+    ``sp_axis`` may name one mesh axis (H strips — the 1-D layout) or two
+    (``("sp", "spw")``: H x W tiles with corner exchange, keeping tiles
+    square-ish past 8 devices — see module docstring).
 
     Global-edge exactness: the unsharded iteration
     (``mono_barcodes/run_sr.py:221-240`` semantics) applies a different
     boundary prior at each stage — zero padding for both PSF convolutions,
     'nearest' extension of the *blurred* grid before the forward shift, and
     'nearest' extension of the *zero-stuffed* error grid (solid replicated
-    rows — NOT the interleaved stuff-after-extend pattern) before the
-    back-projection shift.  The edge tiles therefore patch their halo rows
-    between stages (:func:`_patch_halos`): zeros before the blur, the
-    replicated true edge row of the blurred grid before the forward shift,
-    the replicated true edge row of the stuffed grid before the backward
-    shift, and zeros again before the final correlation.  Result: the
-    sharded solve matches the single-device solve over the FULL array
-    (``tests/test_parallel.py`` asserts allclose with no edge trim).
+    rows/columns — NOT the interleaved stuff-after-extend pattern) before
+    the back-projection shift.  The edge tiles therefore patch their halo
+    slices between stages (:func:`_patch_halos`): zeros before the blur,
+    the replicated true edge slice of the blurred grid before the forward
+    shift, the replicated true edge slice of the stuffed grid before the
+    backward shift, and zeros again before the final correlation; patching
+    H before W realizes SciPy's separable 'nearest' corner semantics.
+    Result: the sharded solve matches the single-device solve over the
+    FULL array (``tests/test_parallel.py`` asserts allclose with no edge
+    trim, 1-D and 2-D).
 
     ``solver='adjoint'`` replaces the heuristic back-projection with the
     TRUE adjoint of the per-tile patched forward via ``jax.vjp`` (step
     ~2.0 stable — see ``sr.classical._solver_mode``).  Locality argument:
-    an interior HR pixel's adjoint row draws only on LR rows within the
+    an interior HR pixel's adjoint row draws only on LR samples within the
     operator support (≪ halo), all present in the extended tile, and each
     HR pixel is owned by exactly one device's interior — so keeping the
     interior of the local vjp equals the global adjoint, including the
@@ -190,23 +244,58 @@ def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
     """
     shifts_key = tuple((float(a), float(b)) for a, b in shifts_yx)
     psf = np.asarray(psf, dtype=np.float64)
-    nsp = mesh.shape[sp_axis]
-    n_frames, h, _ = lr_stack.shape[-3:]
-    if h % nsp != 0:
-        raise ValueError(f"H={h} not divisible by sp={nsp}")
+    sp_axes = _sp_tuple(sp_axis)
+    ks = range(len(sp_axes))
+    nsp = [mesh.shape[a] for a in sp_axes]
+    n_frames = lr_stack.shape[-3]
+    for k in ks:
+        dim = lr_stack.shape[-2 + k]
+        if dim % nsp[k] != 0:
+            raise ValueError(
+                f"LR dim {dim} not divisible by {sp_axes[k]}={nsp[k]}")
     halo_hr = halo_lr * factor
 
     def shard_fn(lr_tile, hr_tile):
-        lr_ext = halo_exchange(lr_tile, halo_lr, sp_axis, 1)
-        idx = jax.lax.axis_index(sp_axis)
-        t_lr = lr_tile.shape[1]
-        t_hr = hr_tile.shape[0]
+        lr_ext = lr_tile
+        for k in ks:
+            lr_ext = halo_exchange(lr_ext, halo_lr, sp_axes[k], 1 + k)
+        idxs = [jax.lax.axis_index(a) for a in sp_axes]
+        t_lr = [lr_tile.shape[1 + k] for k in ks]
+        t_hr = [hr_tile.shape[k] for k in ks]
+
+        def nearest_patch(x):
+            # replicated true-edge slices, H before W: the W pass copies
+            # the already-patched rows, making the corner halo the
+            # replicated corner pixel (SciPy separable 'nearest')
+            for k in ks:
+                x = _patch_halos(
+                    x, halo_hr, idxs[k], nsp[k],
+                    _rep_slice(x, halo_hr, halo_hr, k),
+                    _rep_slice(x, halo_hr + t_hr[k] - 1, halo_hr, k),
+                    axis=k)
+            return x
+
+        def zero_patch(x, halo: int):
+            for k in ks:
+                shape = list(x.shape)
+                shape[k] = halo
+                z = jnp.zeros(shape, x.dtype)
+                x = _patch_halos(x, halo, idxs[k], nsp[k], z, z, axis=k)
+            return x
+
+        def interior(x, halo: int, ext):
+            sl = [slice(None)] * x.ndim
+            for k in ks:
+                sl[k] = slice(halo, halo + ext[k])
+            return x[tuple(sl)]
 
         def body(it, carry):
             hr_int, errs = carry
             # zero edge halos: the PSF blur's boundary prior is zero padding
-            hr_ext = halo_exchange(hr_int, halo_hr, sp_axis, 0,
-                                   edge_mode="zero")
+            hr_ext = hr_int
+            for k in ks:
+                hr_ext = halo_exchange(hr_ext, halo_hr, sp_axes[k], k,
+                                       edge_mode="zero")
             correction = jnp.zeros_like(hr_int)
             mse = jnp.asarray(0.0, dtype=hr_ext.dtype)
             for i in range(n_frames):
@@ -215,78 +304,69 @@ def sharded_ibp(lr_stack, hr_init, psf: np.ndarray, shifts_yx, mesh: Mesh,
                 def fwd_frame(hr_ext_):
                     blurred = conv2d_same(hr_ext_, psf)
                     # forward shift sees the 'nearest' extension of the
-                    # blurred grid: replicate its true edge rows into the
-                    # edge halos
-                    blurred = _patch_halos(
-                        blurred, halo_hr, idx, nsp,
-                        _rep_row(blurred, halo_hr, halo_hr),
-                        _rep_row(blurred, halo_hr + t_hr - 1, halo_hr))
+                    # blurred grid: replicate its true edge slices into
+                    # the edge halos
+                    blurred = nearest_patch(blurred)
                     return spline_shift(blurred, (dy * factor, dx * factor),
                                         strides=(factor, factor))
 
                 if solver == "adjoint":
                     sim, vjp = jax.vjp(fwd_frame, hr_ext)
                     err = lr_ext[i] - sim
-                    # the vjp seed must cover only LR rows that exist
+                    # the vjp seed must cover only LR samples that exist
                     # globally: at the global edges the extended tile's
-                    # halo rows are phantoms (beyond the sensor), and the
-                    # edge-replication patch would pull their junk error
-                    # into the edge pixels' adjoint rows
-                    zeros_lr = jnp.zeros((halo_lr,) + err.shape[1:],
-                                         err.dtype)
-                    seed = _patch_halos(err, halo_lr, idx, nsp,
-                                        zeros_lr, zeros_lr)
+                    # halo slices are phantoms (beyond the sensor), and
+                    # the edge-replication patch would pull their junk
+                    # error into the edge pixels' adjoint rows
+                    seed = zero_patch(err, halo_lr)
                     corr_ext, = vjp(seed)
                     corr = corr_ext
                 else:
                     sim = fwd_frame(hr_ext)
                     err = lr_ext[i] - sim
-                mse = mse + jnp.mean(
-                    jnp.square(err[halo_lr:halo_lr + t_lr]))
+                mse = mse + jnp.mean(jnp.square(interior(err, halo_lr,
+                                                         t_lr)))
                 if solver != "adjoint":
                     # heuristic back-projection: zero-stuff the extended
                     # error grid, then give the backward shift the
                     # 'nearest' extension of the STUFFED grid — solid
-                    # replicated rows at the global edges
+                    # replicated slices at the global edges
                     up = jnp.zeros(hr_ext.shape, dtype=err.dtype)
                     up = up.at[::factor, ::factor].set(err)
-                    up = _patch_halos(
-                        up, halo_hr, idx, nsp,
-                        _rep_row(up, halo_hr, halo_hr),
-                        _rep_row(up, halo_hr + t_hr - 1, halo_hr))
+                    up = nearest_patch(up)
                     shifted = spline_shift(up, (-dy * factor, -dx * factor))
                     # the final correlation's boundary prior is zero padding
-                    shifted = _patch_halos(
-                        shifted, halo_hr, idx, nsp,
-                        jnp.zeros((halo_hr,) + shifted.shape[1:],
-                                  shifted.dtype),
-                        jnp.zeros((halo_hr,) + shifted.shape[1:],
-                                  shifted.dtype))
+                    shifted = zero_patch(shifted, halo_hr)
                     corr = correlate2d_same(shifted, psf)
-                correction = correction + corr[halo_hr:halo_hr + t_hr]
+                correction = correction + interior(corr, halo_hr, t_hr)
             hr_int = jnp.clip(hr_int + step * correction / n_frames,
                               clip[0], clip[1])
-            errs = errs.at[it].set(jax.lax.pmean(mse / n_frames, sp_axis))
+            errs = errs.at[it].set(jax.lax.pmean(mse / n_frames, sp_axes))
             return hr_int, errs
 
         errs0 = jnp.zeros((n_iter,), dtype=hr_tile.dtype)
         return jax.lax.fori_loop(0, n_iter, body, (hr_tile, errs0))
 
+    lr_spec = [None, sp_axes[0], None]
+    hr_spec = [sp_axes[0], None]
+    if len(sp_axes) > 1:
+        lr_spec[2] = sp_axes[1]
+        hr_spec[1] = sp_axes[1]
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(None, sp_axis, None), P(sp_axis, None)),
-        out_specs=(P(sp_axis, None), P()))
+        in_specs=(P(*lr_spec), P(*hr_spec)),
+        out_specs=(P(*hr_spec), P()))
 
     lr_stack = jax.device_put(jnp.asarray(lr_stack),
-                              NamedSharding(mesh, P(None, sp_axis, None)))
+                              NamedSharding(mesh, P(*lr_spec)))
     hr_init = jax.device_put(jnp.asarray(hr_init),
-                             NamedSharding(mesh, P(sp_axis, None)))
+                             NamedSharding(mesh, P(*hr_spec)))
     return jax.jit(mapped)(lr_stack, hr_init)
 
 
 def solve_sharded(lr_stack, psf, shifts_yx, mesh: Mesh,
                   factor: int = 2, n_iter: int = 80, step: float = 0.5,
-                  halo_lr: int = 32, sp_axis: str = "sp",
+                  halo_lr: int = 32, sp_axis: SpAxes = "sp",
                   solver: str = "ibp"):
     """Full classical solve with the IBP loop spatially sharded.
 

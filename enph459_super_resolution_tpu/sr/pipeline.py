@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.io import save_png
+from ..parallel.mesh import parse_sp_spec
 from ..data.sessions import SessionData
 from ..utils.timing import StageTimer
 from .classical import solve, to_uint8
@@ -80,7 +81,7 @@ def save_figures(hr_images: Dict[str, np.ndarray], lr_mean: np.ndarray,
 def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
                  output_base: str, figures: bool = True,
                  force: bool = False, engine: str = "mm",
-                 sp: int = 1, fusion=None) -> Optional[str]:
+                 sp=1, fusion=None) -> Optional[str]:
     """Run one SR unit (a session or one rep) end to end.
 
     ``sp > 1`` shards the IBP image plane over an sp-device mesh
@@ -108,14 +109,18 @@ def process_unit(session: SessionData, psf: np.ndarray, cfg: WorkloadConfig,
         frames = jnp.asarray(session.frames)
 
     with timer.stage("solve"):
-        if sp > 1:
+        sph, spw = parse_sp_spec(sp)
+        if sph * spw > 1:
             from ..parallel import make_mesh, solve_sharded
             from .classical import _solver_mode
-            mesh = make_mesh({"sp": sp}, devices=jax.devices()[:sp])
+            axes = {"sp": sph} if spw == 1 else {"sp": sph, "spw": spw}
+            mesh = make_mesh(axes, devices=jax.devices()[:sph * spw])
+            sp_axis = "sp" if spw == 1 else ("sp", "spw")
             result = solve_sharded(frames, psf, session.shifts, mesh,
                                    factor=cfg.upsample_factor,
                                    n_iter=cfg.ibp_iterations,
                                    step=cfg.ibp_step,
+                                   sp_axis=sp_axis,
                                    solver=_solver_mode())
         else:
             result = solve(frames, psf, session.shifts,
@@ -277,7 +282,7 @@ def _solve_units_batched(pending, psf, cfg, output_base, figures) -> int:
 
 def process_workload(session_dirs, psf, cfg, output_base, figures=True,
                      force=False, batch_reps=True, engine: str = "mm",
-                     max_batch: int = 4, sp: int = 1, fusion=None) -> int:
+                     max_batch: int = 4, sp=1, fusion=None) -> int:
     """Process many sessions with CROSS-SESSION unit batching.
 
     The reference iterates sessions one at a time
@@ -299,8 +304,9 @@ def process_workload(session_dirs, psf, cfg, output_base, figures=True,
         nonlocal buffer, n_done
         if not buffer:
             return
-        if len(buffer) == 1 or engine != "mm" or not batch_reps or sp > 1 \
-                or fusion is not None:
+        sp_total = int(np.prod(parse_sp_spec(sp)))
+        if len(buffer) == 1 or engine != "mm" or not batch_reps \
+                or sp_total > 1 or fusion is not None:
             for u in buffer:
                 if process_unit(u, psf, cfg, output_base, figures,
                                 force=True, engine=engine,

@@ -317,20 +317,29 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
     return final
 
 
-def load_burst_run(run_dir: str):
+def load_burst_run(run_dir: str, dtype=None):
     """Restore a trained burst run -> (apply_fn, ema_params, config).
 
     Platform-portable (chip-trained runs load on CPU and vice versa):
     weights restore as numpy via :func:`~.state.restore_checkpoint_numpy`.
+
+    ``dtype`` overrides the trunk's COMPUTE dtype at serving time (params
+    stay f32; flax casts per layer): ``jnp.bfloat16`` runs the convs at
+    the MXU's native bf16 rate — ~2x f32 (PERF_NOTES round-2 conv A/B)
+    with held-out PSNR/SSIM unchanged to <0.01 dB because the trunk only
+    predicts a residual over the f32 SAA base
+    (``models.zoo.BurstFusion``), so bf16 rounding scales with the
+    residual, not the signal.
     """
     from ..models import create_model
     from .state import restore_checkpoint_numpy
 
     with open(os.path.join(run_dir, "config.json")) as fp:
         cfg = json.load(fp)
+    kw = {} if dtype is None else {"dtype": dtype}
     model = create_model("burstfusion", n_frames=cfg["frames"],
                          n_feats=cfg["n_feats"],
-                         n_resblocks=cfg["n_resblocks"])
+                         n_resblocks=cfg["n_resblocks"], **kw)
     tree, _ = restore_checkpoint_numpy(os.path.join(run_dir, "ckpt"))
     ema = jax.tree.map(jnp.asarray, tree["ema_params"])
     return model.apply, ema, cfg

@@ -62,8 +62,11 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
     via :func:`~..parallel.shard_params_tp`; ``pp`` (EDSR only) switches
     the model to the stacked scan-trunk layout and trains through the
     GPipe pipeline (:func:`~..parallel.pipeline.make_pipelined_edsr_apply`;
-    batch must divide by the pp-depth microbatching).  Default (None): dp
-    over all devices when more than one is visible.
+    batch must divide by the pp-depth microbatching); ``ep`` (edsr_moe
+    only) shards the gated-expert stacks over the mesh
+    (:func:`~..parallel.moe.shard_params_ep_named` — E/ep expert branches
+    per device, one psum combine).  Default (None): dp over all devices
+    when more than one is visible.
     """
     from ..models import VGGStyleDiscriminator, create_model
     from ..parallel import (make_mesh, parse_mesh_spec, shard_params_tp,
@@ -103,12 +106,21 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
         raise ValueError("pp + tp in one mesh is not supported (the pp "
                          "param placement would override the tp layout); "
                          "combine pp with dp")
-    if mesh_axes.get("ep", 1) > 1:
-        raise ValueError("no expert-parallel model is wired into train.loop"
-                         " (ep is a library axis: parallel.moe); use "
-                         "dp/sp/tp/pp here")
+    ep_on = mesh is not None and mesh_axes.get("ep", 1) > 1
+    if ep_on and model_name != "edsr_moe":
+        raise ValueError("expert parallelism (ep mesh axis) is wired for "
+                         "--model edsr_moe (gated-expert trunk); use "
+                         "dp/sp/tp/pp for dense models")
+    if ep_on and (tp_on or pp_on):
+        raise ValueError("ep composes with dp/sp only (a tp/pp param "
+                         "placement would override the expert layout)")
 
     kwargs = dict(model_kwargs or {})
+    if ep_on:
+        n_experts = int(kwargs.get("n_experts", 4))
+        if n_experts % mesh_axes["ep"] != 0:
+            raise ValueError(f"n_experts={n_experts} not divisible by "
+                             f"ep={mesh_axes['ep']}")
     if pp_on:
         kwargs.setdefault("scan_trunk", True)
     if model_name == "srcnn":
@@ -153,6 +165,9 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
             p = shard_params_tp(p, mesh, "tp")
         if pp_on:
             p = shard_edsr_pp_params(p, mesh)
+        if ep_on:
+            from ..parallel.moe import shard_params_ep_named
+            p = shard_params_ep_named(p, mesh, "ep")
         return p
 
     params = maybe_tp(params)
@@ -330,7 +345,8 @@ def train(model_name: str = "edsr", scale: int = 4, steps: int = 1000,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="edsr",
-                   choices=["srcnn", "espcn", "fsrcnn", "edsr", "rrdbnet"])
+                   choices=["srcnn", "espcn", "fsrcnn", "edsr", "edsr_moe",
+                            "rrdbnet"])
     p.add_argument("--scale", type=int, default=4)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch", type=int, default=16)
@@ -388,11 +404,11 @@ def main(argv=None) -> int:
                         "eval cadences (e.g. 10, 25, 50)")
     p.add_argument("--mesh", default=None, metavar="SPEC",
                    help='explicit device mesh, e.g. "dp=2,tp=2", '
-                        '"dp=2,sp=2,tp=2" or "dp=2,pp=4": batch over dp, '
-                        'patch rows over sp, conv feature dims over tp, '
-                        'EDSR trunk stages pipelined over pp (default: dp '
-                        'over '
-                        'all visible devices)')
+                        '"dp=2,sp=2,tp=2", "dp=2,pp=4" or "dp=2,ep=4": '
+                        'batch over dp, patch rows over sp, conv feature '
+                        'dims over tp, EDSR trunk stages pipelined over '
+                        'pp, edsr_moe experts sharded over ep (default: '
+                        'dp over all visible devices)')
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--platform", default=None)
     args = p.parse_args(argv)

@@ -116,3 +116,68 @@ def test_moe_trains_gate_and_experts():
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         g0, jax.device_get(params["gate"]))
     assert max(jax.tree.leaves(moved)) > 0, "gate params did not train"
+
+
+# ---------------------------------------------------------------------------
+# product surface: models.zoo.EDSRMoE + train.loop --mesh "dp=2,ep=4"
+# ---------------------------------------------------------------------------
+
+def test_edsr_moe_ep_sharded_apply_matches_dense():
+    """The zoo MoE trunk under jit with expert params sharded over ep must
+    equal the dense single-device evaluation (GSPMD computes E/ep expert
+    branches per device + one psum — moe_apply's schedule, jit-native)."""
+    from enph459_super_resolution_tpu.models import create_model
+    from enph459_super_resolution_tpu.parallel.moe import shard_params_ep_named
+
+    m = create_model("edsr_moe", scale=2, channels=1, n_resblocks=2,
+                     n_feats=8, n_experts=4)
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 255, (2, 8, 8, 1)),
+                    jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    want = m.apply(p, x)
+
+    mesh = make_mesh({"dp": 2, "ep": 4})
+    p_ep = shard_params_ep_named(p, mesh, "ep")
+    # the expert stacks (2 blocks x conv kernel+bias x 2) must actually be
+    # ep-sharded, everything else replicated
+    n_sharded = sum(1 for leaf in jax.tree.leaves(p_ep)
+                    if "ep" in tuple(leaf.sharding.spec))
+    assert n_sharded == 8
+    got = jax.jit(m.apply)(p_ep, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_edsr_moe_trains_ep_with_loss_parity(tmp_path):
+    """train.loop --model edsr_moe --mesh "dp=2,ep=4" must follow the
+    single-device dense trajectory (same seed -> same batches -> same math,
+    GSPMD-partitioned) — the pipeline-parallel acceptance standard."""
+    import json
+    from enph459_super_resolution_tpu.train.loop import train
+
+    common = dict(model_name="edsr_moe", scale=2, steps=4, batch=4,
+                  lr_patch=8, channels=1, eval_every=100, ckpt_every=100,
+                  pool_images=8, seed=0, resume=False,
+                  model_kwargs={"n_resblocks": 2, "n_feats": 8,
+                                "n_experts": 4})
+    dense = train(out_dir=str(tmp_path / "dense"), dp=False, **common)
+    ep = train(out_dir=str(tmp_path / "ep"), mesh_spec="dp=2,ep=4", **common)
+
+    def losses(d):
+        with open(tmp_path / d / "metrics.jsonl") as fp:
+            return [json.loads(l)["loss"] for l in fp]
+
+    np.testing.assert_allclose(losses("ep"), losses("dense"),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ep["psnr"], dense["psnr"], atol=1e-3)
+
+
+def test_edsr_moe_ep_rejects_bad_configs(tmp_path):
+    from enph459_super_resolution_tpu.train.loop import train
+
+    with pytest.raises(ValueError, match="edsr_moe"):
+        train(model_name="edsr", steps=1, mesh_spec="ep=4",
+              out_dir=str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="divisible"):
+        train(model_name="edsr_moe", steps=1, mesh_spec="ep=4",
+              model_kwargs={"n_experts": 3}, out_dir=str(tmp_path / "b"))

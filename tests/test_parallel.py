@@ -149,3 +149,97 @@ def test_sharded_adjoint_matches_unsharded_adjoint(monkeypatch):
                                np.asarray(want["mse_history"]), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_hr),
                                np.asarray(want["ibp"]), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (H x W) spatial sharding
+# ---------------------------------------------------------------------------
+
+def test_parse_sp_spec():
+    from enph459_super_resolution_tpu.parallel.mesh import parse_sp_spec
+    assert parse_sp_spec(4) == (4, 1)
+    assert parse_sp_spec("8") == (8, 1)
+    assert parse_sp_spec("4x2") == (4, 2)
+    assert parse_sp_spec((2, 2)) == (2, 2)
+    for bad in ("4x2x2", "ax2", "0", "4x0", "-1"):
+        with pytest.raises(ValueError):
+            parse_sp_spec(bad)
+
+
+def test_tiled_apply_2d_exact_conv(mesh8):
+    """tiled_apply over an H x W mesh (corner exchange via sequenced 1-D
+    exchanges) must equal the global op away from the global edges."""
+    from enph459_super_resolution_tpu.ops import correlate2d_same
+    mesh = make_mesh({"sp": 2, "spw": 2}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(6)
+    img = jnp.asarray(rng.uniform(0, 255, size=(64, 40)), jnp.float32)
+    k = np.full((5, 5), 1.0 / 25.0)
+
+    want = np.asarray(correlate2d_same(img, k))
+    got = np.asarray(tiled_apply(lambda t: correlate2d_same(t, k), img,
+                                 mesh, halo=4, sp_axis=("sp", "spw"),
+                                 axis=-2))
+    np.testing.assert_allclose(got[4:-4, 4:-4], want[4:-4, 4:-4], atol=1e-4)
+
+
+@pytest.mark.parametrize("layout", [(2, 2), (4, 2)])
+def test_sharded_ibp_2d_matches_single_device(layout):
+    """H x W tiled IBP: full-array parity with the unsharded solve,
+    global edges AND corners included (the per-stage halo fixups patch
+    H before W, realizing SciPy's separable 'nearest' corner)."""
+    sph, spw = layout
+    mesh = make_mesh({"sp": sph, "spw": spw},
+                     devices=jax.devices()[:sph * spw])
+    rng = np.random.default_rng(7)
+    psf = make_gaussian_psf()
+    lrs = jnp.asarray(rng.uniform(0, 255, size=(4, 128, 64)), jnp.float32)
+
+    hr0 = shift_and_add(lrs, SHIFTS, 2)
+    want_hr, want_errs = ibp(lrs, SHIFTS, psf, hr0, 2, n_iter=6, step=0.5)
+    got_hr, got_errs = sharded_ibp(lrs, hr0, psf, SHIFTS, mesh,
+                                   factor=2, n_iter=6, step=0.5,
+                                   halo_lr=28, sp_axis=("sp", "spw"))
+    np.testing.assert_allclose(np.asarray(got_errs), np.asarray(want_errs),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(want_hr),
+                               atol=1e-3)
+
+
+def test_sharded_adjoint_2d_matches_unsharded_adjoint(monkeypatch):
+    from enph459_super_resolution_tpu.sr.classical import solve
+
+    mesh = make_mesh({"sp": 2, "spw": 2}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(8)
+    psf = make_gaussian_psf()
+    lrs = jnp.asarray(rng.uniform(0, 255, size=(4, 128, 64)), jnp.float32)
+    hr0 = shift_and_add(lrs, SHIFTS, 2)
+
+    monkeypatch.setenv("SRTPU_SOLVER", "adjoint")
+    want = solve(lrs, psf, SHIFTS, n_iter=6, step=2.0)
+
+    got_hr, got_errs = sharded_ibp(lrs, hr0, psf, SHIFTS, mesh,
+                                   factor=2, n_iter=6, step=2.0,
+                                   halo_lr=28, sp_axis=("sp", "spw"),
+                                   solver="adjoint")
+    np.testing.assert_allclose(np.asarray(got_errs),
+                               np.asarray(want["mse_history"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_hr),
+                               np.asarray(want["ibp"]), atol=1e-3)
+
+
+def test_solve_sharded_2d_matches_single_device():
+    from enph459_super_resolution_tpu.parallel import solve_sharded
+    from enph459_super_resolution_tpu.sr import solve
+
+    mesh = make_mesh({"sp": 4, "spw": 2})
+    rng = np.random.default_rng(9)
+    psf = make_gaussian_psf()
+    lrs = jnp.asarray(rng.uniform(0, 255, size=(4, 128, 64)), jnp.float32)
+
+    want = solve(lrs, psf, SHIFTS, n_iter=6)
+    got = solve_sharded(lrs, psf, SHIFTS, mesh, n_iter=6, halo_lr=28,
+                        sp_axis=("sp", "spw"))
+    np.testing.assert_allclose(np.asarray(got["ibp"]),
+                               np.asarray(want["ibp"]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["mse_history"]),
+                               np.asarray(want["mse_history"]), rtol=1e-5)
