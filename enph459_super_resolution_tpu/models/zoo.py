@@ -415,11 +415,60 @@ class BurstFusion(nn.Module):
         return base + h.astype(jnp.float32) * self.rgb_range
 
 
+class BurstFusionLR(nn.Module):
+    """Burst fusion with the trunk on the LR grid — the TPU-first layout.
+
+    :class:`BurstFusion` (round 3) runs its conv trunk on the registered
+    HR grid: at the flagship geometry that is 12.6 Mpix x 48 feats of
+    activations per layer, and the serving-path breakdown measured the
+    engine bandwidth-bound at ~17 HR Mpix/s.  This variant keeps the same
+    physics-explicit align-then-fuse design but consumes the registration
+    in POLYPHASE form (``ops.resize.keys_register_phases`` /
+    ``sr.fusion.register_burst_phases``): input ``(B, h, w, N*f^2)`` — each
+    frame's registered HR image packed as f^2 LR-grid phase channels — so
+    every trunk conv runs on f^2-x fewer pixels with f^2-x less HBM
+    traffic, and the head restores HR by ``pixel_shuffle`` (a layout
+    change XLA fuses into the producing conv).  Same recipe as
+    ESPCN/EDSR's sub-pixel heads ("all FLOPs stay on the LR grid").
+
+    The mean over frames of the phase stack, pixel-shuffled, IS the
+    shift-and-add estimate under the Keys registration — with the
+    zero-init head the untrained model reproduces SAA exactly, as the HR
+    variant does.  Output ``(B, h*f, w*f, 1)``.
+    """
+
+    n_frames: int = 4
+    factor: int = 2
+    n_feats: int = 64
+    n_resblocks: int = 8
+    rgb_range: float = 255.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ff = self.factor ** 2
+        if x.shape[-1] != self.n_frames * ff:
+            raise ValueError(
+                f"expected {self.n_frames * ff} phase channels "
+                f"({self.n_frames} frames x {ff} phases), got {x.shape[-1]}")
+        phases = x.reshape(x.shape[:-1] + (self.n_frames, ff))
+        base = pixel_shuffle(jnp.mean(phases, axis=-2), self.factor)
+        h = ((x - self.rgb_range / 2) / self.rgb_range).astype(self.dtype)
+        h = nn.Conv(self.n_feats, (3, 3), dtype=self.dtype)(h)
+        for _ in range(self.n_resblocks):
+            h = ResBlock(self.n_feats, dtype=self.dtype)(h)
+        h = nn.Conv(ff, (3, 3), dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros)(h)
+        res = pixel_shuffle(h.astype(jnp.float32), self.factor)
+        return base + res * self.rgb_range
+
+
 MODELS = {
     "srcnn": SRCNN,
     "espcn": ESPCN,
     "fsrcnn": FSRCNN,
     "burstfusion": BurstFusion,
+    "burstfusion_lr": BurstFusionLR,
     "edsr": EDSR,
     "edsr_moe": EDSRMoE,
     "rrdbnet": RRDBNet,

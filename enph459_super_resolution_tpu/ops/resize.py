@@ -144,6 +144,71 @@ def _keys_shift_axis(x, shift, axis: int, pad: int):
     return out
 
 
+def _keys_phase_pass(x, us, axis: int, pad: int):
+    """All ``len(us)`` phase resamples along ``axis`` in one pass:
+    ``out[p, ..., i, ...] = Interp_x(i + us[p])`` (Keys cubic, nearest
+    boundary), for traced scalar offsets ``us`` sorted ascending with
+    ``us[-1] - us[0] < 1`` (polyphase property).  A SHARED 5-tap window
+    anchored at ``floor(us[0])`` serves every phase, so the input is read
+    5x total instead of ``4 * len(us)``x, and the per-phase weighted
+    combines collapse into one einsum — the registration is bandwidth-
+    bound on this backend (PERF_NOTES), so tap traffic is the cost.
+    |us| must be <= pad - 3 (the extra tap vs the 4-tap kernel support).
+    """
+    n = x.shape[axis]
+    b0 = jnp.floor(us[0])
+    base = b0.astype(jnp.int32) + (pad - 1)
+    pad_widths = [(0, 0)] * x.ndim
+    pad_widths[axis] = (pad, pad)
+    xp = jnp.pad(x, pad_widths, mode="edge")
+    taps = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(xp, base + j, n, axis=axis)
+        for j in range(5)])
+    w = jnp.stack([
+        jnp.stack([_keys_cubic_jnp(u - b0 - (j - 1)) for j in range(5)])
+        for u in us]).astype(x.dtype)  # (P, 5)
+    return jnp.einsum("pj,j...->p...", w, taps)
+
+
+def keys_register_phases(lr, shift_yx, factor: int, pad: int = 6):
+    """Registered HR-grid resample of one LR frame, computed ENTIRELY at LR
+    resolution as ``factor**2`` polyphase planes.
+
+    The registered HR image is ``reg[i] = Interp_lr((i + 0.5)/factor - 0.5
+    - shift)`` (Keys cubic a = -0.5, pixel-centre coordinate mapping — the
+    imresize upsample convention of :func:`resize_matrix` — composed with a
+    translation by ``shift`` LR px; nearest boundary).  Writing ``i =
+    factor*y + p`` splits it into ``factor`` phases per axis, each a 4-tap
+    FIR **on the LR grid** with a traced fractional offset — so the whole
+    registration costs O(taps x LR pixels), ~``factor**2`` x cheaper in
+    compute AND HBM traffic than materializing the upsampled grid and
+    shifting it (the round-3 ``register_burst`` path; the serving-path
+    breakdown measured that at 1/3 of the burst-fusion engine's time).
+
+    Returns ``(h, w, factor*factor)`` with the phase channel ordered
+    ``p_y * factor + p_x`` — exactly :func:`~..models.common.pixel_shuffle`
+    layout, so ``pixel_shuffle(phases, factor)`` IS the registered HR
+    image (``phases_to_hr``).  Shifts may be traced (per-batch jitter in
+    burst training draws them fresh without recompiles).
+    """
+    dy, dx = shift_yx[0], shift_yx[1]
+    us_y = [(p + 0.5) / factor - 0.5 - dy for p in range(factor)]
+    us_x = [(p + 0.5) / factor - 0.5 - dx for p in range(factor)]
+    rows = _keys_phase_pass(lr, us_y, lr.ndim - 2, pad)   # (fy, ..., h, w)
+    cols = _keys_phase_pass(rows, us_x, rows.ndim - 1, pad)  # (fx, fy, ...)
+    # (fx, fy, ..., h, w) -> (..., h, w, fy, fx) -> (..., h, w, fy*fx):
+    # channel order p_y * factor + p_x == pixel_shuffle layout
+    out = jnp.moveaxis(cols, (0, 1), (-1, -2))
+    return out.reshape(out.shape[:-2] + (factor * factor,))
+
+
+def phases_to_hr(phases, factor: int):
+    """(..., h, w, f*f) polyphase planes -> (..., h*f, w*f) HR image."""
+    from ..models.common import pixel_shuffle
+
+    return pixel_shuffle(phases, factor)[..., 0]
+
+
 def keys_shift2d(x, shift_yx, pad: int = 8):
     """Sub-pixel translate the trailing-2 axes of ``x`` by a *traced*
     ``(dy, dx)``: ``out[y, x] = in[y - dy, x - dx]`` (matching

@@ -776,3 +776,78 @@ def to_uint8(img) -> np.ndarray:
     """Reference output quantization: clip to [0, 255] then TRUNCATE
     (``np.clip(...).astype(np.uint8)``, ``mono_barcodes/run_sr.py:339``)."""
     return np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_refine(psf_bytes, psf_shape, psf_dtype, shifts_yx, factor,
+                     n_iter, step, clip_max, lr_shape, dtype_name,
+                     mm_precision=None):
+    """Jitted Landweber data-consistency refinement from an arbitrary HR
+    seed, on the banded-MXU adjoint operator set (static shifts; the
+    operators are the SAME content-keyed set the ``SRTPU_SOLVER=adjoint``
+    path builds, so disk/device caches are shared)."""
+    del mm_precision  # cache-key only; einsums read it at trace time
+    psf = np.frombuffer(psf_bytes, dtype=psf_dtype).reshape(psf_shape)
+    clip = (0.0, clip_max)
+    n = len(shifts_yx)
+    mats = _solve_matrices(psf, shifts_yx, factor, lr_shape, dtype_name,
+                           1, "0", "f32", solver="adjoint")
+    frames = mats["frames"]
+
+    @jax.jit
+    def run(hr0, lr_stack, mats_arg):
+        frames_arg = mats_arg["frames"]
+
+        def body(it, carry):
+            hr, errs = carry
+            correction = jnp.zeros_like(hr)
+            total = jnp.asarray(0.0, dtype=hr.dtype)
+            for i in range(n):
+                sim = forward_model_mm(hr, frames_arg[i])
+                err = lr_stack[i] - sim
+                total = total + jnp.mean(err * err)
+                correction = correction + back_project_mm(err, frames_arg[i])
+            hr = jnp.clip(hr + step * correction / n, clip[0], clip[1])
+            return hr, errs.at[it].set(total / n)
+
+        errs0 = jnp.zeros((n_iter,), dtype=hr0.dtype)
+        hr, errs = jax.lax.fori_loop(0, n_iter, body, (hr0, errs0))
+        # forward-fit of the RETURNED estimate (mse_history[i] is measured
+        # before update i, like the reference's convergence log)
+        final = jnp.asarray(0.0, dtype=hr.dtype)
+        for i in range(n):
+            err = lr_stack[i] - forward_model_mm(hr, frames_arg[i])
+            final = final + jnp.mean(err * err)
+        return hr, errs, final / n
+
+    return run, {"frames": frames}
+
+
+def landweber_refine(hr0, lr_stack, psf, shifts_yx,
+                     factor: int = UPSAMPLE_FACTOR, n_iter: int = 30,
+                     step: float = 2.0, clip_max: float = 255.0):
+    """True-adjoint Landweber refinement seeded from ``hr0`` on the banded
+    MXU engine: ``hr += step * A^T(lr - A hr) / n``, A the scipy-exact
+    blur+shift+decimate forward operator and ``A^T`` its transposed banded
+    operator set (same band structure, same per-apply cost — the
+    ``SRTPU_SOLVER=adjoint`` machinery, ~3 ms/iteration at flagship size
+    vs ~0.5 s/iteration for the traced-shift ``jax.vjp`` formulation in
+    ``sr.fusion.data_consistency_refine``).  Step 2.0 is spectrally stable
+    (operator norm of blur+decimate < 1; PERF_NOTES round-3 step study).
+
+    Shifts must be static (per-unit config — the serving condition); for
+    traced shifts (training-time jitter) use the vjp formulation.
+
+    Returns ``(hr, mse_history[n_iter], final_mse)`` where ``final_mse``
+    is the forward fit of the returned estimate.
+    """
+    psf = np.asarray(psf, dtype=np.float64)
+    shifts_key = tuple((float(dy), float(dx)) for dy, dx in shifts_yx)
+    lr_shape = tuple(int(v) for v in lr_stack.shape[-2:])
+    dtype_name = str(jnp.asarray(lr_stack).dtype)
+    fn, mats = _compiled_refine(psf.tobytes(), psf.shape, str(psf.dtype),
+                                shifts_key, int(factor), int(n_iter),
+                                float(step), float(clip_max), lr_shape,
+                                dtype_name,
+                                mm_precision=_mm_precision_key())
+    return fn(hr0, lr_stack, mats)

@@ -29,14 +29,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..sr.fusion import NOMINAL_SHIFTS_4, fuse, register_burst, simulate_burst
+from ..sr.fusion import (NOMINAL_SHIFTS_4, REGISTER_FNS, fuse,
+                         register_burst, simulate_burst)
+
+#: --arch CLI value -> (zoo model name, registration grid of the stack)
+ARCHS = {"hr": "burstfusion", "lr": "burstfusion_lr"}
 
 
 def make_burst_gen(nominal, factor: int, psf, noise_sigma: float,
-                   jitter_sigma: float, margin_lr: int = 6):
+                   jitter_sigma: float, margin_lr: int = 6,
+                   model_name: str = "burstfusion"):
     """Build the jitted batch generator.
 
-    ``gen(hr_patches[B, Hp, Wp], key) -> (stack[B, H, W, N], target[B, H, W, 1])``
+    ``gen(hr_patches[B, Hp, Wp], key) -> (stack, target[B, H, W, 1])``
+    where ``stack`` is the model's registered input —
+    ``[B, H, W, N]`` on the HR grid for ``burstfusion``,
+    ``[B, h, w, N*f^2]`` polyphase for ``burstfusion_lr``
+    (:data:`~..sr.fusion.REGISTER_FNS`).
 
     True shifts = nominal + N(0, jitter) per burst; frames carry Gaussian
     read noise; registration uses only the NOMINAL shifts (training bakes
@@ -44,9 +53,12 @@ def make_burst_gen(nominal, factor: int, psf, noise_sigma: float,
     border is cropped from both stack and target so boundary resampling
     artifacts never enter the loss.
     """
+    register = REGISTER_FNS[model_name]
+    lr_grid = model_name == "burstfusion_lr"
     nom = jnp.asarray(nominal, jnp.float32)
     psf_j = jnp.asarray(psf, jnp.float32)
     m = margin_lr * factor
+    ms = margin_lr if lr_grid else m  # stack crop in its own grid units
 
     def gen(hr, key):
         b = hr.shape[0]
@@ -57,8 +69,8 @@ def make_burst_gen(nominal, factor: int, psf, noise_sigma: float,
         lr = jax.vmap(
             lambda h, s, k: simulate_burst(h, s, psf_j, factor,
                                            noise_sigma, k))(hr, true, keys)
-        stack = jax.vmap(lambda l: register_burst(l, nom, factor))(lr)
-        stack = stack[:, m:stack.shape[1] - m, m:stack.shape[2] - m, :]
+        stack = jax.vmap(lambda l: register(l, nom, factor))(lr)
+        stack = stack[:, ms:stack.shape[1] - ms, ms:stack.shape[2] - ms, :]
         tgt = hr[:, m:hr.shape[1] - m, m:hr.shape[2] - m, None]
         return stack, tgt
 
@@ -89,7 +101,8 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
                    jitter_sigma: float = 0.05, n_iter: int = 80,
                    shave: int = 12, seed: int = 1234,
                    classical: bool = True, refine: int = 0,
-                   refine_step: float = 2.0) -> dict:
+                   refine_step: float = 2.0,
+                   register=register_burst) -> dict:
     """Head-to-head burst-SR evaluation on held-out scenes.
 
     Each scene is the HR ground truth; its burst is simulated with TRUE
@@ -132,7 +145,8 @@ def evaluate_burst(apply_fn, params, scenes: Sequence[np.ndarray],
             rows["ibp"], _ = _classical.ibp(lr, nominal_static, psf_j, saa,
                                             factor, n_iter=n_iter)
         if apply_fn is not None:
-            rows["fusion"] = fuse(apply_fn, params_arg, lr, nom, factor)
+            rows["fusion"] = fuse(apply_fn, params_arg, lr, nom, factor,
+                                  register=register)
             if refine > 0:
                 from ..sr.fusion import data_consistency_refine
 
@@ -190,8 +204,13 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
                 seed: int = 0, eval_every: int = 2000,
                 ckpt_every: int = 1000, resume: bool = True,
                 margin_lr: int = 6, data_dir: Optional[str] = None,
-                tile: int = 128) -> dict:
+                tile: int = 128, arch: str = "hr") -> dict:
     """Train BurstFusion on simulated bursts; returns final eval metrics.
+
+    ``arch='lr'`` trains the TPU-first :class:`~..models.zoo.BurstFusionLR`
+    variant (polyphase registration, trunk on the LR grid — ~4x cheaper
+    per pixel at serving; see the class docstring); ``'hr'`` is the
+    round-3 HR-grid :class:`~..models.zoo.BurstFusion`.
 
     ``data_dir`` switches the scene pool from procedural scenes to tiles
     cut from real images in that directory — the field-adaptation recipe:
@@ -232,16 +251,23 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
     eval_pool, train_pool = pool[:n_eval], pool[n_eval:]
     pool_arr = jnp.asarray(np.stack([p[..., 0] for p in train_pool]))
 
+    model_name = ARCHS[arch]
     psf = make_gaussian_psf()
     gen = make_burst_gen(NOMINAL_SHIFTS_4, factor, psf, noise, jitter,
-                         margin_lr=margin_lr)
+                         margin_lr=margin_lr, model_name=model_name)
     hp = (lr_patch + 2 * margin_lr) * factor  # padded HR patch side
 
-    model = create_model("burstfusion", n_frames=frames, n_feats=n_feats,
-                         n_resblocks=n_resblocks)
-    hw = lr_patch * factor
-    params = model.init(jax.random.PRNGKey(seed),
-                        jnp.zeros((1, hw, hw, frames), jnp.float32))
+    if model_name == "burstfusion_lr":
+        model = create_model(model_name, n_frames=frames, factor=factor,
+                             n_feats=n_feats, n_resblocks=n_resblocks)
+        init_in = jnp.zeros((1, lr_patch, lr_patch, frames * factor ** 2),
+                            jnp.float32)
+    else:
+        model = create_model(model_name, n_frames=frames, n_feats=n_feats,
+                             n_resblocks=n_resblocks)
+        hw = lr_patch * factor
+        init_in = jnp.zeros((1, hw, hw, frames), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), init_in)
     cfg = TrainConfig(learning_rate=learning_rate, loss=loss,
                       lr_halve_every=max(steps // 2, 1))
     tx = make_optimizer(cfg)
@@ -267,7 +293,7 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
         start_step = int(latest)
         print(f"resumed from step {start_step}")
 
-    run_cfg = dict(model="burstfusion", frames=frames, factor=factor,
+    run_cfg = dict(model=model_name, frames=frames, factor=factor,
                    n_feats=n_feats, n_resblocks=n_resblocks, noise=noise,
                    jitter=jitter, lr_patch=lr_patch, batch=batch,
                    steps=steps, pool=pool_kind, pool_images=pool_images,
@@ -299,7 +325,8 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
                 ev = evaluate_burst(model.apply, state.ema_params,
                                     eval_pool, factor=factor, psf=psf,
                                     noise_sigma=noise, jitter_sigma=jitter,
-                                    classical=(it == steps))
+                                    classical=(it == steps),
+                                    register=REGISTER_FNS[model_name])
                 ev["step"] = it
                 print("  eval: " + " ".join(
                     f"{k}={v:.3f}" for k, v in ev.items()
@@ -310,7 +337,8 @@ def train_burst(steps: int = 20000, batch: int = 16, lr_patch: int = 24,
 
     final = evaluate_burst(model.apply, state.ema_params, eval_pool,
                            factor=factor, psf=psf, noise_sigma=noise,
-                           jitter_sigma=jitter)
+                           jitter_sigma=jitter,
+                           register=REGISTER_FNS[model_name])
     final["steps"] = steps
     with open(os.path.join(out_dir, "final_eval.json"), "w") as fp:
         json.dump(final, fp, indent=2)
@@ -337,7 +365,10 @@ def load_burst_run(run_dir: str, dtype=None):
     with open(os.path.join(run_dir, "config.json")) as fp:
         cfg = json.load(fp)
     kw = {} if dtype is None else {"dtype": dtype}
-    model = create_model("burstfusion", n_frames=cfg["frames"],
+    name = cfg.get("model", "burstfusion")
+    if name == "burstfusion_lr":
+        kw["factor"] = cfg["factor"]
+    model = create_model(name, n_frames=cfg["frames"],
                          n_feats=cfg["n_feats"],
                          n_resblocks=cfg["n_resblocks"], **kw)
     tree, _ = restore_checkpoint_numpy(os.path.join(run_dir, "ckpt"))
@@ -352,8 +383,16 @@ def main(argv=None) -> int:
     p.add_argument("--lr-patch", type=int, default=24)
     p.add_argument("--frames", type=int, default=4)
     p.add_argument("--factor", type=int, default=2)
-    p.add_argument("--n-feats", type=int, default=48)
-    p.add_argument("--n-resblocks", type=int, default=6)
+    p.add_argument("--arch", default="hr", choices=sorted(ARCHS),
+                   help="hr = round-3 BurstFusion (trunk on the registered "
+                        "HR grid); lr = BurstFusionLR (polyphase "
+                        "registration, trunk on the LR grid — ~4x cheaper "
+                        "serving; defaults --n-feats/--n-resblocks to "
+                        "64/8, spending part of the saving on capacity)")
+    p.add_argument("--n-feats", type=int, default=None,
+                   help="trunk width (default 48 for --arch hr, 64 for lr)")
+    p.add_argument("--n-resblocks", type=int, default=None,
+                   help="trunk depth (default 6 for --arch hr, 8 for lr)")
     p.add_argument("--noise", type=float, default=2.0,
                    help="sensor read-noise sigma (8-bit counts)")
     p.add_argument("--jitter", type=float, default=0.05,
@@ -434,14 +473,20 @@ def main(argv=None) -> int:
         out = evaluate_burst(apply_fn, ema, pool[:n_eval],
                              factor=cfg["factor"], noise_sigma=args.noise,
                              jitter_sigma=args.jitter,
-                             n_iter=args.eval_iters, refine=args.refine)
+                             n_iter=args.eval_iters, refine=args.refine,
+                             register=REGISTER_FNS[
+                                 cfg.get("model", "burstfusion")])
         print(json.dumps(out))
         return 0
 
+    n_feats = args.n_feats if args.n_feats is not None else (
+        64 if args.arch == "lr" else 48)
+    n_resblocks = args.n_resblocks if args.n_resblocks is not None else (
+        8 if args.arch == "lr" else 6)
     final = train_burst(steps=args.steps, batch=args.batch,
                         lr_patch=args.lr_patch, frames=args.frames,
-                        factor=args.factor, n_feats=args.n_feats,
-                        n_resblocks=args.n_resblocks, noise=args.noise,
+                        factor=args.factor, n_feats=n_feats,
+                        n_resblocks=n_resblocks, noise=args.noise,
                         jitter=args.jitter,
                         learning_rate=args.learning_rate, loss=args.loss,
                         out_dir=args.out,
@@ -453,7 +498,8 @@ def main(argv=None) -> int:
                         ckpt_every=args.ckpt_every,
                         resume=not args.no_resume,
                         data_dir=args.data_dir,
-                        tile=(128 if args.tile is None else args.tile))
+                        tile=(128 if args.tile is None else args.tile),
+                        arch=args.arch)
     print(json.dumps(final))
     return 0
 
