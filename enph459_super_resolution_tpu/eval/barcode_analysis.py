@@ -30,6 +30,26 @@ from .decode import HAVE_ZXING, decode_confidence
 METHODS = [("Native-2x", "native_2x.png"), ("SAA", "SAA.png"),
            ("SAA+IBP", "SAA_IBP.png")]
 
+#: Corrected ROIs for the reference's real rgb_barcodes sessions
+#: (``--rois rgb``).  The notebook's checked-in SESSION_ROIS truncate the
+#: barcodes — its "6 mil" ROI ends at col 1640 but the symbol's stop
+#: pattern ends at col 1744 (measured on the checked-in SAA_IBP.png), so
+#: no decoder can succeed inside it.  These boxes cover start quiet zone
+#: through stop for each symbol, measured with ``eval.code128`` on the
+#: checked-in rep00 results (HR 1536 x 2048 coordinates, like the
+#: notebook's).
+RGB_SESSION_ROIS = {
+    "2_3_5_mil_color_tilt 0.28256_settle50ms": [
+        {"label": "2 mil", "roi": (900, 1260, 380, 950), "pitch_mil": 2},
+        {"label": "3 mil", "roi": (900, 1260, 990, 1720), "pitch_mil": 3},
+        {"label": "5 mil", "roi": (400, 800, 380, 1540), "pitch_mil": 5},
+    ],
+    "4_6_mil_color_tilt 0.28256_settle50ms": [
+        {"label": "4 mil", "roi": (800, 1200, 600, 1545), "pitch_mil": 4},
+        {"label": "6 mil", "roi": (400, 760, 460, 1800), "pitch_mil": 6},
+    ],
+}
+
 
 def analyse_session(results_session_dir: str, rois, n_trials: int = 25,
                     max_jitter: int = 2, seed: int = 42,
@@ -65,7 +85,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("results_dir", help="results/ root containing sessions")
     p.add_argument("--rois", required=True,
-                   help="JSON file: {session: [{label, roi, pitch_mil}]}")
+                   help="JSON file: {session: [{label, roi, pitch_mil}]}; "
+                        "or the literal 'rgb' for the built-in corrected "
+                        "boxes of the reference's real rgb_barcodes "
+                        "sessions (RGB_SESSION_ROIS)")
     p.add_argument("--n-trials", type=int, default=25)
     p.add_argument("--max-jitter", type=int, default=2)
     p.add_argument("--seed", type=int, default=42)
@@ -81,15 +104,19 @@ def main(argv=None) -> int:
                    help="LR pixel pitch / sensor pitch (2 for the Bayer "
                         "red plane, 1 for mono)")
     p.add_argument("--decoder", default="zxing",
-                   choices=["zxing", "ean13", "none"],
-                   help="'ean13' uses the built-in pure-Python EAN-13 "
-                        "decoder (eval.ean13, no native wheel needed); "
-                        "'none' dry-runs the harness")
+                   choices=["zxing", "code128", "ean13", "none"],
+                   help="'code128' uses the built-in pure-Python Code 128 "
+                        "decoder (eval.code128 — the symbology on the "
+                        "reference's real sheets; no native wheel needed); "
+                        "'ean13' the EAN-13 one (eval.ean13); 'none' "
+                        "dry-runs the harness")
     args = p.parse_args(argv)
 
     decoder = None
     if args.decoder == "none":
         decoder = lambda img: None  # noqa: E731 — explicit stub
+    elif args.decoder == "code128":
+        from .code128 import decode as decoder  # noqa: F811
     elif args.decoder == "ean13":
         from .ean13 import decode as decoder  # noqa: F811
     elif not HAVE_ZXING:
@@ -97,8 +124,11 @@ def main(argv=None) -> int:
               "or pass --decoder none for a dry run", file=sys.stderr)
         return 2
 
-    with open(args.rois) as fp:
-        session_rois = json.load(fp)
+    if args.rois == "rgb":
+        session_rois = RGB_SESSION_ROIS
+    else:
+        with open(args.rois) as fp:
+            session_rois = json.load(fp)
 
     results = []
     for session, rois in session_rois.items():
