@@ -225,6 +225,37 @@ def test_band_store_hybrid_tracks_f32_tightly(monkeypatch):
                                rtol=0.02)
 
 
+@pytest.mark.parametrize("scene", ["nyquist", "noise", "impulses"])
+def test_band_store_hybrid_holds_on_adversarial_inputs(monkeypatch, scene):
+    """The hybrid tail's +/-1 contract is empirical (the bf16 deviation
+    contracts at ~0.98/iter at high spatial frequency — PERF_NOTES), so
+    pin it on the inputs where contraction is slowest: a Nyquist
+    checkerboard (the worst measured mode), full-range white noise (flat
+    spectrum), and a saturated field with isolated impulses (clip
+    nonlinearity active).  Natural scenes are strictly easier."""
+    from enph459_super_resolution_tpu.sr.classical import to_uint8
+
+    rng = np.random.default_rng(7)
+    if scene == "nyquist":
+        yy, xx = np.meshgrid(np.arange(64), np.arange(80), indexing="ij")
+        hr_true = 127.5 + 120.0 * ((yy + xx) % 2 * 2.0 - 1.0)
+    elif scene == "noise":
+        hr_true = rng.uniform(0, 255, (64, 80))
+    else:
+        hr_true = np.full((64, 80), 250.0)
+        hr_true[rng.integers(0, 64, 40), rng.integers(0, 80, 40)] = 2.0
+    psf = make_gaussian_psf()
+    lrs = np.stack([np_forward(hr_true, psf, s, 2) for s in SHIFTS])
+    dev = jnp.asarray(lrs, jnp.float32)
+
+    want = solve(dev, psf, SHIFTS, n_iter=20)
+    monkeypatch.setenv("SRTPU_BAND_STORE", "hybrid:8")
+    got = solve(dev, psf, SHIFTS, n_iter=20)
+    a = to_uint8(want["ibp"]).astype(np.int16)
+    b = to_uint8(got["ibp"]).astype(np.int16)
+    assert np.abs(a - b).max() <= 1, scene
+
+
 def test_mm_precision_x3_tracks_highest_and_keys_cache():
     """SRTPU_MM_PRECISION=BF16_BF16_F32_X3 (split-f32 3-pass bf16
     emulation — jax DotAlgorithmPreset) must track the HIGHEST engine
