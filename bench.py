@@ -349,7 +349,8 @@ def main() -> int:
     # serving mode).
     from enph459_super_resolution_tpu.models import create_model
     from enph459_super_resolution_tpu.sr.fusion import (
-        NOMINAL_SHIFTS_4, fuse, register_burst_phases)
+        NOMINAL_SHIFTS_4, build_register_phase_ops,
+        register_burst_phases_banded)
 
     bf_h, bf_w = (h, w) if not args.smoke else (128, 160)
     bmodel = create_model("burstfusion_lr", n_frames=4, factor=2,
@@ -358,22 +359,25 @@ def main() -> int:
         rng.uniform(0, 255, (4, bf_h, bf_w)).astype(np.float32), dev)
     bparams = bmodel.init(jax.random.PRNGKey(1),
                           jnp.zeros((1, 64, 64, 16), jnp.float32))
-    nom = jnp.asarray(NOMINAL_SHIFTS_4, jnp.float32)
+    # serving shifts are static config -> banded-MXU registration
+    # (FusionEngine's default path; PERF_NOTES round 4)
+    reg_ops = build_register_phase_ops(NOMINAL_SHIFTS_4, bf_h, bf_w, 2)
     nrep_bf = 2 if args.smoke else 8
 
     @jax.jit
-    def burst_loop(p, stack):
+    def burst_loop(p, stack, ops):
         def body(i, v):
-            sr = fuse(bmodel.apply, p, v, nom, 2,
-                      register=register_burst_phases)
+            phases = register_burst_phases_banded(v, ops)
+            sr = jnp.clip(bmodel.apply(p, phases[None])[0, ..., 0],
+                          0.0, 255.0)
             return v + 1e-12 * sr[None, ::2, ::2]
         return jax.lax.fori_loop(0, nrep_bf, body, stack)
 
-    float(np.asarray(burst_loop(bparams, burst_lr)).ravel()[0])  # compile
+    float(np.asarray(burst_loop(bparams, burst_lr, reg_ops)).ravel()[0])  # compile
     bf_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(np.asarray(burst_loop(bparams, burst_lr)).ravel()[0])
+        float(np.asarray(burst_loop(bparams, burst_lr, reg_ops)).ravel()[0])
         bf_times.append((time.perf_counter() - t0) / nrep_bf)
     t_bf = float(np.median(bf_times))
     bf_mpix = (bf_h * 2) * (bf_w * 2) / 1e6 / t_bf
@@ -425,7 +429,7 @@ def main() -> int:
         "edsr_x4_batch%d_mpix_per_s" % nb_edsr: round(edsr_batch_mpix, 2),
         "burst_fusion_mpix_per_s": round(bf_mpix, 2),
         "burst_fusion_s_per_burst": round(t_bf, 4),
-        "burst_fusion_arch": "burstfusion_lr/bf16",
+        "burst_fusion_arch": "burstfusion_lr/bf16+banded-reg",
         "smoke": bool(args.smoke),
     }
     os.environ.update(saved_env)

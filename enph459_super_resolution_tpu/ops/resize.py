@@ -144,30 +144,51 @@ def _keys_shift_axis(x, shift, axis: int, pad: int):
     return out
 
 
-def _keys_phase_pass(x, us, axis: int, pad: int):
-    """All ``len(us)`` phase resamples along ``axis`` in one pass:
-    ``out[p, ..., i, ...] = Interp_x(i + us[p])`` (Keys cubic, nearest
-    boundary), for traced scalar offsets ``us`` sorted ascending with
-    ``us[-1] - us[0] < 1`` (polyphase property).  A SHARED 5-tap window
-    anchored at ``floor(us[0])`` serves every phase, so the input is read
-    5x total instead of ``4 * len(us)``x, and the per-phase weighted
-    combines collapse into one einsum — the registration is bandwidth-
-    bound on this backend (PERF_NOTES), so tap traffic is the cost.
-    |us| must be <= pad - 3 (the extra tap vs the 4-tap kernel support).
-    """
-    n = x.shape[axis]
+def _keys_phase_window(d, factor: int, pad: int):
+    """Traced fractional offset ``d`` -> shared 5-tap window for all
+    ``factor`` phases along one axis: ``(base_i32, [w5 x factor])`` with
+    ``out_p[i] = sum_j w5_p[j] * xp[i + base + j]`` on a ``pad``-edge-padded
+    axis.  The window is anchored at ``floor(us[0])`` (us sorted ascending,
+    ``us[-1] - us[0] < 1`` — the polyphase property), so one set of 5 tap
+    slices serves every phase."""
+    us = [(p + 0.5) / factor - 0.5 - d for p in range(factor)]
     b0 = jnp.floor(us[0])
     base = b0.astype(jnp.int32) + (pad - 1)
-    pad_widths = [(0, 0)] * x.ndim
-    pad_widths[axis] = (pad, pad)
-    xp = jnp.pad(x, pad_widths, mode="edge")
-    taps = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(xp, base + j, n, axis=axis)
-        for j in range(5)])
-    w = jnp.stack([
-        jnp.stack([_keys_cubic_jnp(u - b0 - (j - 1)) for j in range(5)])
-        for u in us]).astype(x.dtype)  # (P, 5)
-    return jnp.einsum("pj,j...->p...", w, taps)
+    ws = [jnp.stack([_keys_cubic_jnp(u - b0 - (j - 1)) for j in range(5)])
+          for u in us]
+    return base, ws
+
+
+def keys_phase_outputs(lr, shift_yx, factor: int, pad: int = 6):
+    """The ``factor**2`` polyphase planes of :func:`keys_register_phases`
+    as a plain list of ``(..., h, w)`` arrays in ``p_y * factor + p_x``
+    order.  Kept un-stacked so multi-frame callers
+    (:func:`~..sr.fusion.register_burst_phases`) can interleave ALL
+    frames' planes with ONE channels-last stack — the round-4 chip
+    breakdown measured the leading-axis einsum + two minor-dim transposes
+    of the previous formulation at 1.6x the cost of this weighted-tap-sum
+    form, and the einsum's TPU dot ran at DEFAULT (bf16-operand)
+    precision; the elementwise form is exact f32
+    (scratch/probe_register_variants.py)."""
+    dy, dx = shift_yx[0], shift_yx[1]
+    ny, nx = lr.shape[-2], lr.shape[-1]
+    pad_widths = [(0, 0)] * (lr.ndim - 2) + [(pad, pad), (pad, pad)]
+    xp = jnp.pad(lr, pad_widths, mode="edge")
+    by, wys = _keys_phase_window(dy, factor, pad)
+    bx, wxs = _keys_phase_window(dx, factor, pad)
+    taps = [jax.lax.dynamic_slice_in_dim(xp, by + j, ny, axis=lr.ndim - 2)
+            for j in range(5)]
+    outs = []
+    for wy in wys:
+        wy = wy.astype(lr.dtype)
+        row = sum(wy[j] * taps[j] for j in range(5))  # (..., ny, nx+2p)
+        cols = [jax.lax.dynamic_slice_in_dim(row, bx + k, nx,
+                                             axis=lr.ndim - 1)
+                for k in range(5)]
+        for wx in wxs:
+            wx = wx.astype(lr.dtype)
+            outs.append(sum(wx[k] * cols[k] for k in range(5)))
+    return outs
 
 
 def keys_register_phases(lr, shift_yx, factor: int, pad: int = 6):
@@ -191,15 +212,8 @@ def keys_register_phases(lr, shift_yx, factor: int, pad: int = 6):
     image (``phases_to_hr``).  Shifts may be traced (per-batch jitter in
     burst training draws them fresh without recompiles).
     """
-    dy, dx = shift_yx[0], shift_yx[1]
-    us_y = [(p + 0.5) / factor - 0.5 - dy for p in range(factor)]
-    us_x = [(p + 0.5) / factor - 0.5 - dx for p in range(factor)]
-    rows = _keys_phase_pass(lr, us_y, lr.ndim - 2, pad)   # (fy, ..., h, w)
-    cols = _keys_phase_pass(rows, us_x, rows.ndim - 1, pad)  # (fx, fy, ...)
-    # (fx, fy, ..., h, w) -> (..., h, w, fy, fx) -> (..., h, w, fy*fx):
-    # channel order p_y * factor + p_x == pixel_shuffle layout
-    out = jnp.moveaxis(cols, (0, 1), (-1, -2))
-    return out.reshape(out.shape[:-2] + (factor * factor,))
+    return jnp.stack(keys_phase_outputs(lr, shift_yx, factor, pad),
+                     axis=-1)
 
 
 def phases_to_hr(phases, factor: int):

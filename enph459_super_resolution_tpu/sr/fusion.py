@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import conv2d_same, spline_zoom
-from ..ops.resize import keys_register_phases, keys_shift2d
+from ..ops.resize import keys_phase_outputs, keys_shift2d
 
 #: The reference's hardcoded 4-corner nominal shift pattern, LR px
 #: (``mono_barcodes/run_sr.py:71-77``).
@@ -70,11 +70,12 @@ def register_burst_phases(lr_stack, shifts_yx, factor: int):
     :func:`register_burst` because nothing is materialized on the HR grid.
     """
     shifts_yx = jnp.asarray(shifts_yx, lr_stack.dtype)
-    ph = jax.vmap(
-        lambda f, s: keys_register_phases(f, s, factor))(lr_stack,
-                                                         shifts_yx)
-    ph = jnp.moveaxis(ph, 0, -2)  # (h, w, N, f^2)
-    return ph.reshape(ph.shape[:-2] + (-1,))
+    outs = []
+    for n in range(lr_stack.shape[0]):  # N is static: unrolled, so ALL
+        # N * f^2 planes interleave with ONE channels-last stack (no
+        # leading-axis vmap + minor-dim transpose — round-4 chip A/B)
+        outs.extend(keys_phase_outputs(lr_stack[n], shifts_yx[n], factor))
+    return jnp.stack(outs, axis=-1)
 
 
 #: model name -> registration function (the train/serve featurization
@@ -83,6 +84,72 @@ REGISTER_FNS = {
     "burstfusion": register_burst,
     "burstfusion_lr": register_burst_phases,
 }
+
+
+def _keys_phase_taps_np(d: float, factor: int):
+    """Host twin of :func:`~..ops.resize._keys_phase_window` for a STATIC
+    shift: ``(b0:int, w[factor, 5] f64)`` with
+    ``out_p[i] = sum_j w[p, j] * lr[clip(i + b0 - 1 + j)]``."""
+    from ..ops.resize import _keys_cubic
+
+    us = [(p + 0.5) / factor - 0.5 - float(d) for p in range(factor)]
+    b0 = int(np.floor(us[0]))
+    w = np.stack([
+        _keys_cubic(np.array([u - b0 - (j - 1) for j in range(5)]))
+        for u in us])
+    return b0, w
+
+
+def build_register_phase_ops(shifts_yx, h: int, w: int, factor: int,
+                             dtype_name: str = "float32"):
+    """STATIC shifts -> banded registration operators, one
+    ``(row_ops[factor], col_ops[factor])`` pair per frame.
+
+    At serving a unit's shifts are config (the classical engine already
+    bakes them into its banded operator set), so the Keys-cubic polyphase
+    registration is itself a pair of 5-tap banded matrices per frame/axis
+    — applied as block-decomposed MXU matmuls
+    (:class:`~..ops.opmatrix.BandedOp`), the backend's fast primitive.
+    The round-4 chip A/B measured every elementwise formulation of the
+    traced registration at 25-50x off HBM roofline
+    (scratch/probe_register_variants.py); this path reuses the classical
+    engine's matmul machinery instead.  Entries match
+    :func:`register_burst_phases` to f32 tolerance (same taps, matmul
+    accumulation order).
+    """
+    from ..ops.opmatrix import BandedOp, band_from_kernel
+
+    ops = []
+    for s in np.asarray(shifts_yx, np.float64):
+        by, wy = _keys_phase_taps_np(s[0], factor)
+        bx, wx = _keys_phase_taps_np(s[1], factor)
+        rows = tuple(
+            BandedOp.from_banded(
+                band_from_kernel(h, h, wy[p], by - 1, "nearest"),
+                dtype_name=dtype_name)
+            for p in range(factor))
+        cols = tuple(
+            BandedOp.from_banded(
+                band_from_kernel(w, w, wx[p], bx - 1, "nearest"),
+                dtype_name=dtype_name)
+            for p in range(factor))
+        ops.append((rows, cols))
+    return tuple(ops)
+
+
+def register_burst_phases_banded(lr_stack, reg_ops):
+    """:func:`register_burst_phases` on prebuilt static-shift banded
+    operators (:func:`build_register_phase_ops`) — jit-able with the ops
+    riding as pytree arguments (their blocks are arrays, never baked-in
+    constants)."""
+    outs = []
+    for n, (rows, cols) in enumerate(reg_ops):
+        fr = lr_stack[n]
+        for rop in rows:
+            y = rop.row_apply(fr)
+            for cop in cols:
+                outs.append(cop.col_apply(y))
+    return jnp.stack(outs, axis=-1)
 
 
 def simulate_burst(hr, shifts_yx, psf, factor: int,
@@ -195,7 +262,8 @@ class FusionEngine:
 
     def __init__(self, run_dir: str, psf=None, refine: int = 0,
                  refine_step: float = 2.0, dtype: str = "f32",
-                 refine_engine: str = "banded"):
+                 refine_engine: str = "banded",
+                 static_register: bool = True):
         from ..train.burst import load_burst_run
 
         dtypes = {"f32": None, "float32": None,
@@ -218,6 +286,14 @@ class FusionEngine:
         self.refine_engine = refine_engine
         self._psf = psf
         self._jitted = {}  # psf bytes -> compiled (static FIR blur kernel)
+        # serving shifts are static config -> the polyphase registration
+        # bakes into banded MXU operators per shift set (the traced
+        # elementwise form measures 25-50x off roofline on this backend;
+        # PERF_NOTES round 4).  Only the LR (polyphase) arch has a banded
+        # twin; reg-op pytrees cache per (shifts, shape).
+        self.static_register = (static_register and
+                                self.register is register_burst_phases)
+        self._reg_ops = {}
 
     def _compiled(self, psf: "np.ndarray"):
         import numpy as np
@@ -225,9 +301,13 @@ class FusionEngine:
         psf = np.asarray(psf, np.float32)
         key = (psf.tobytes(), psf.shape)
         if key not in self._jitted:
-            def _run(params, lr_stack, shifts):
-                sr = fuse(self.apply_fn, params, lr_stack, shifts,
-                          self.factor, register=self.register)
+            def _run(params, lr_stack, shifts, reg_ops):
+                if reg_ops is None:
+                    stack = self.register(lr_stack, shifts, self.factor)
+                else:
+                    stack = register_burst_phases_banded(lr_stack, reg_ops)
+                sr = self.apply_fn(params, stack[None])[0, ..., 0]
+                sr = jnp.clip(sr, 0.0, 255.0)
 
                 def fwd_mse(h):
                     sim = jax.vmap(
@@ -276,7 +356,16 @@ class FusionEngine:
         shifts = jnp.asarray(shifts_yx, jnp.float32)
         psf_np = self._psf if psf is None else psf
         fn = self._compiled(psf_np)
-        sr, mse, mse_raw = fn(self.params, lr_stack, shifts)
+        reg_ops = None
+        if self.static_register:
+            s_np = np.asarray(shifts_yx, np.float64)
+            rk = (s_np.tobytes(), lr_stack.shape)
+            if rk not in self._reg_ops:
+                self._reg_ops[rk] = build_register_phase_ops(
+                    s_np, int(lr_stack.shape[1]), int(lr_stack.shape[2]),
+                    self.factor)
+            reg_ops = self._reg_ops[rk]
+        sr, mse, mse_raw = fn(self.params, lr_stack, shifts, reg_ops)
         if self.refine > 0 and self.refine_engine == "banded":
             from .classical import landweber_refine
 

@@ -194,3 +194,59 @@ class TestLRArchEndToEnd:
         np.testing.assert_allclose(float(mse_b), float(mse_v), rtol=2e-2)
         np.testing.assert_allclose(np.asarray(sr_b), np.asarray(sr_v),
                                    atol=1.0)
+
+
+class TestBandedRegistration:
+    """Static-shift registration as banded MXU operators (round 4): the
+    serving path's registration must match the traced elementwise form it
+    replaces (same Keys taps, matmul accumulation order)."""
+
+    def test_banded_matches_traced(self):
+        rng = np.random.default_rng(3)
+        from enph459_super_resolution_tpu.sr.fusion import (
+            build_register_phase_ops, register_burst_phases_banded)
+
+        lr = rng.uniform(0, 255, (4, 40, 48)).astype(np.float32)
+        shifts = np.asarray(SHIFTS, np.float64) + rng.normal(0, 0.3, (4, 2))
+        traced = np.asarray(register_burst_phases(
+            jnp.asarray(lr), jnp.asarray(shifts, jnp.float32), 2))
+        ops = build_register_phase_ops(shifts, 40, 48, 2)
+        banded = np.asarray(jax.jit(register_burst_phases_banded)(lr, ops))
+        assert banded.shape == traced.shape == (40, 48, 16)
+        np.testing.assert_allclose(banded, traced, atol=2e-3)
+
+    def test_banded_matches_traced_large_shift_boundary(self):
+        # |shift| > 1 moves the shared window across the clamped edge on
+        # both sides; the banded 'nearest' entries must realize the same
+        # edge-clamp the traced path gets from its edge pad
+        rng = np.random.default_rng(4)
+        from enph459_super_resolution_tpu.sr.fusion import (
+            build_register_phase_ops, register_burst_phases_banded)
+
+        lr = rng.uniform(0, 255, (2, 16, 20)).astype(np.float32)
+        shifts = np.asarray([[1.7, -2.3], [-1.1, 2.9]])
+        traced = np.asarray(register_burst_phases(
+            jnp.asarray(lr), jnp.asarray(shifts, jnp.float32), 2,))
+        ops = build_register_phase_ops(shifts, 16, 20, 2)
+        banded = np.asarray(jax.jit(register_burst_phases_banded)(lr, ops))
+        np.testing.assert_allclose(banded, traced, atol=2e-3)
+
+    def test_engine_static_vs_traced_register(self, tmp_path):
+        from enph459_super_resolution_tpu.train.burst import train_burst
+
+        run = str(tmp_path / "run")
+        train_burst(steps=3, batch=2, lr_patch=12, pool_images=10,
+                    arch="lr", n_feats=8, n_resblocks=2,
+                    out_dir=run, eval_every=3, ckpt_every=3, seed=0)
+        rng = np.random.default_rng(7)
+        lr = rng.uniform(0, 255, (4, 24, 32)).astype(np.float32)
+        psf = make_gaussian_psf()
+        eng_s = FusionEngine(run)
+        assert eng_s.static_register
+        sr_s, mse_s, _ = eng_s(lr, SHIFTS, psf)
+        eng_t = FusionEngine(run, static_register=False)
+        assert not eng_t.static_register
+        sr_t, mse_t, _ = eng_t(lr, SHIFTS, psf)
+        np.testing.assert_allclose(np.asarray(sr_s), np.asarray(sr_t),
+                                   atol=0.5)
+        np.testing.assert_allclose(float(mse_s), float(mse_t), rtol=1e-3)
