@@ -228,8 +228,12 @@ def _decode_runs(widths: List[int], kinds: List[int]) -> Optional[str]:
         if v not in (START_A, START_B, START_C):
             continue
         module = sum(widths[i:i + 6]) / 11.0
-        # quiet zone: >= 5 modules of space (or margin) before the start
-        if i > 0 and widths[i - 1] < 5 * module:
+        # quiet zone: >= 5 modules of space before the start.  A scanline
+        # that begins exactly on a bar (i == 0) carries ZERO quiet-zone
+        # evidence — treat it as a zero-width margin and reject, matching
+        # the zxing semantics the confidence protocol claims comparability
+        # to (a crop must include its quiet zone to decode).
+        if i == 0 or widths[i - 1] < 5 * module:
             continue
         values = [v]
         j = i + 6

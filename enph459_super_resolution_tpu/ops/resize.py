@@ -159,10 +159,23 @@ def _keys_phase_window(d, factor: int, pad: int):
     return base, ws
 
 
+def keys_phase_max_shift(pad: int = 6) -> float:
+    """Largest |shift| (LR px, per axis) the ``pad``-edge-padded
+    ``dynamic_slice`` tap window of :func:`keys_phase_outputs` supports
+    without clamping.  ``dynamic_slice`` CLAMPS out-of-range starts, so a
+    shift beyond this bound silently mis-registers on the traced path
+    (the banded static path, 'nearest' extension baked into matrix
+    entries, is unbounded) — callers with concrete shifts must validate
+    (``sr.fusion.FusionEngine`` does)."""
+    return float(pad - 3)
+
+
 def keys_phase_outputs(lr, shift_yx, factor: int, pad: int = 6):
     """The ``factor**2`` polyphase planes of :func:`keys_register_phases`
     as a plain list of ``(..., h, w)`` arrays in ``p_y * factor + p_x``
-    order.  Kept un-stacked so multi-frame callers
+    order.  Shifts are traced; |shift| per axis must stay within
+    :func:`keys_phase_max_shift` (``pad - 3`` LR px) or the clamped tap
+    window silently mis-registers.  Kept un-stacked so multi-frame callers
     (:func:`~..sr.fusion.register_burst_phases`) can interleave ALL
     frames' planes with ONE channels-last stack — the round-4 chip
     breakdown measured the leading-axis einsum + two minor-dim transposes

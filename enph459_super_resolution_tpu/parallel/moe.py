@@ -103,7 +103,9 @@ def shard_params_ep_named(params, mesh: Mesh, axis: str = "ep",
     ep = mesh.shape[axis]
 
     def put(path, a):
-        on_experts = any(key in str(getattr(k, "key", k)) for k in path)
+        # exact component match: a future param named e.g. 'experts_gate'
+        # must NOT be silently expert-sharded (substring matching would)
+        on_experts = any(str(getattr(k, "key", k)) == key for k in path)
         if on_experts and a.ndim >= 1 and a.shape[0] % ep == 0:
             spec = P(*([axis] + [None] * (a.ndim - 1)))
         else:

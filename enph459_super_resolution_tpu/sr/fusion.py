@@ -285,7 +285,13 @@ class FusionEngine:
         self.refine_step = float(refine_step)
         self.refine_engine = refine_engine
         self._psf = psf
-        self._jitted = {}  # psf bytes -> compiled (static FIR blur kernel)
+        # Both caches are bounded LRU (serving fleets with per-unit-varying
+        # shifts/PSFs must not leak device-resident operators or compiled
+        # fns): OrderedDict, move-to-end on hit, popitem(last=False) past
+        # the cap.
+        from collections import OrderedDict
+        self._jitted = OrderedDict()  # psf bytes -> compiled fn
+        self._jitted_cap = 4
         # serving shifts are static config -> the polyphase registration
         # bakes into banded MXU operators per shift set (the traced
         # elementwise form measures 25-50x off roofline on this backend;
@@ -293,14 +299,19 @@ class FusionEngine:
         # twin; reg-op pytrees cache per (shifts, shape).
         self.static_register = (static_register and
                                 self.register is register_burst_phases)
-        self._reg_ops = {}
+        self._reg_ops = OrderedDict()
+        self._reg_ops_cap = 8
 
     def _compiled(self, psf: "np.ndarray"):
         import numpy as np
 
         psf = np.asarray(psf, np.float32)
         key = (psf.tobytes(), psf.shape)
-        if key not in self._jitted:
+        if key in self._jitted:
+            self._jitted.move_to_end(key)
+        else:
+            while len(self._jitted) >= self._jitted_cap:
+                self._jitted.popitem(last=False)
             def _run(params, lr_stack, shifts, reg_ops):
                 if reg_ops is None:
                     stack = self.register(lr_stack, shifts, self.factor)
@@ -360,11 +371,29 @@ class FusionEngine:
         if self.static_register:
             s_np = np.asarray(shifts_yx, np.float64)
             rk = (s_np.tobytes(), lr_stack.shape)
-            if rk not in self._reg_ops:
+            if rk in self._reg_ops:
+                self._reg_ops.move_to_end(rk)
+            else:
+                while len(self._reg_ops) >= self._reg_ops_cap:
+                    self._reg_ops.popitem(last=False)
                 self._reg_ops[rk] = build_register_phase_ops(
                     s_np, int(lr_stack.shape[1]), int(lr_stack.shape[2]),
                     self.factor)
             reg_ops = self._reg_ops[rk]
+        elif self.register is register_burst_phases:
+            # traced polyphase path: the pad-6 dynamic_slice tap window
+            # CLAMPS for |shift| > keys_phase_max_shift (3 LR px), silently
+            # mis-registering — serving shifts are concrete, so reject here
+            from ..ops.resize import keys_phase_max_shift
+
+            bound = keys_phase_max_shift()
+            worst = float(np.max(np.abs(np.asarray(shifts_yx, np.float64))))
+            if worst > bound:
+                raise ValueError(
+                    f"|shift| {worst:.2f} LR px exceeds the traced "
+                    f"registration's tap-window bound ({bound:.0f}); use "
+                    f"static_register (banded ops, unbounded) for such "
+                    f"units")
         sr, mse, mse_raw = fn(self.params, lr_stack, shifts, reg_ops)
         if self.refine > 0 and self.refine_engine == "banded":
             from .classical import landweber_refine

@@ -8,6 +8,7 @@ checksum-valid payloads it reads off the checked-in reference results —
 the first time this build's decode loop closes on REAL data.
 """
 
+import json
 import os
 
 import numpy as np
@@ -18,6 +19,13 @@ from enph459_super_resolution_tpu.eval.code128 import (
     START_B, START_C, CODE_C, decode, encode_values, render)
 
 REF = "/root/reference/rgb_barcodes/results"
+#: THIS build's SR outputs on the reference's raw rgb_barcodes sessions
+#: (checked-in artifacts; produced by
+#: ``sr.run --workload rgb_barcodes --data-dir
+#: /root/reference/rgb_barcodes/data`` on the default strict-f32 engine,
+#: then ``eval.barcode_analysis --rois rgb --decoder code128``).
+OURS = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                    "rgb_barcodes", "results")
 
 
 class TestCodec:
@@ -127,3 +135,87 @@ class TestRealSessions:
                   if r["label"] == "5 mil"]
         y0, y1, x0, x1 = roi
         assert decode(img[y0:y1, x0:x1]) == "005.0r-018c+015"
+
+
+@pytest.mark.skipif(not os.path.isdir(OURS),
+                    reason="checked-in artifacts missing")
+class TestOurSrOutputs:
+    """The real-data loop, closed by THIS build: raw checked-in captures
+    -> our banded-MXU SAA+IBP -> hermetic Code 128 decode.
+
+    Unlike :class:`TestRealSessions` (which decodes the REFERENCE's own
+    result PNGs), every image here was reconstructed by this repo's
+    pipeline from ``/root/reference/rgb_barcodes/data`` — the reference's
+    decode-of-own-SR-output protocol (``rgb_barcodes/analysis.ipynb``
+    cell 8 over ``rgb_barcodes/run_sr.py:301-351`` outputs) reproduced end
+    to end.  Payloads and 25-trial confidences are pinned to the values in
+    the checked-in ``decode_confidence.json`` (seed-42 protocol)."""
+
+    SESS_46 = "4_6_mil_color_tilt 0.28256_settle50ms"
+    SESS_235 = "2_3_5_mil_color_tilt 0.28256_settle50ms"
+
+    def _img(self, sess, rep, name):
+        from PIL import Image
+        p = os.path.join(OURS, sess, rep, name)
+        return np.asarray(Image.open(p).convert("L"), np.float64)
+
+    def _roi(self, sess, label):
+        from enph459_super_resolution_tpu.eval.barcode_analysis import (
+            RGB_SESSION_ROIS)
+        (roi,) = [r["roi"] for r in RGB_SESSION_ROIS[sess]
+                  if r["label"] == label]
+        return roi
+
+    def test_payloads_from_our_saa_ibp(self):
+        """Our SAA+IBP resolves the same symbols the reference's does."""
+        for rep in ("rep0", "rep1"):
+            img = self._img(self.SESS_46, rep, "SAA_IBP.png")
+            y0, y1, x0, x1 = self._roi(self.SESS_46, "4 mil")
+            assert decode(img[y0:y1, x0:x1]) == "004.0r-006c+049"
+            y0, y1, x0, x1 = self._roi(self.SESS_46, "6 mil")
+            assert decode(img[y0:y1, x0:x1]) == "006.0r-018c+050"
+        img = self._img(self.SESS_235, "rep0", "SAA_IBP.png")
+        y0, y1, x0, x1 = self._roi(self.SESS_235, "5 mil")
+        assert decode(img[y0:y1, x0:x1]) == "005.0r-018c+015"
+
+    def test_4_mil_needs_our_sr(self):
+        """The project's thesis on our own outputs: native 2x upsampling
+        cannot resolve the 4-mil symbol; our SAA+IBP can (both reps)."""
+        y0, y1, x0, x1 = self._roi(self.SESS_46, "4 mil")
+        for rep in ("rep0", "rep1"):
+            nat = self._img(self.SESS_46, rep, "native_2x.png")
+            ibp = self._img(self.SESS_46, rep, "SAA_IBP.png")
+            assert decode(nat[y0:y1, x0:x1]) is None
+            assert decode(ibp[y0:y1, x0:x1]) == "004.0r-006c+049"
+
+    def test_confidence_json_golden(self):
+        """The checked-in decode_confidence.json (produced by the analysis
+        CLI on our outputs) carries the headline story: 4 mil goes 0.0
+        (native) -> >= 0.75 (our SAA+IBP), 6 mil reaches 1.0."""
+        with open(os.path.join(OURS, "decode_confidence.json")) as fp:
+            data = json.load(fp)
+        assert data["n_trials"] == 25 and data["seed"] == 42
+        recs = {(r["rep"], r["method"], r["label"]): r
+                for s in data["sessions"] for r in s["records"]}
+        assert recs[("rep0", "Native-2x", "4 mil")]["confidence"] == 0.0
+        assert recs[("rep0", "SAA+IBP", "4 mil")]["confidence"] == 0.76
+        assert recs[("rep1", "SAA+IBP", "4 mil")]["confidence"] == 0.92
+        for rep in ("rep0", "rep1"):
+            assert recs[(rep, "SAA+IBP", "6 mil")]["confidence"] == 1.0
+            assert (recs[(rep, "SAA+IBP", "4 mil")]["decoded_text"]
+                    == "004.0r-006c+049")
+            assert recs[(rep, "SAA+IBP", "5 mil")]["confidence"] == 1.0
+        # the checked-in figure (confidence vs pitch) exists alongside
+        assert os.path.exists(os.path.join(OURS, "confidence_vs_pitch.png"))
+
+    def test_confidence_protocol_reproduces_from_bytes(self):
+        """Recompute one 25-trial confidence from the checked-in PNG bytes
+        with the seed-42 jitter protocol — must equal the JSON record."""
+        from enph459_super_resolution_tpu.eval.decode import (
+            decode_confidence)
+        img = self._img(self.SESS_46, "rep0", "SAA_IBP.png").astype(np.uint8)
+        text, conf = decode_confidence(
+            img, tuple(self._roi(self.SESS_46, "4 mil")), n_trials=25,
+            max_jitter=2, seed=42, decoder=decode)
+        assert text == "004.0r-006c+049"
+        assert conf == 0.76
