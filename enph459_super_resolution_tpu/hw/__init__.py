@@ -16,6 +16,7 @@ from .sim import (
     SimCamera,
     SimConfig,
     SimStage,
+    SimStage3Axis,
     SimulatedRig,
     knife_edge_scene,
     pinhole_scene,
@@ -24,6 +25,7 @@ from .sim import (
 __all__ = [
     "TRIGGER_LINE0", "TRIGGER_LINE2", "TRIGGER_LINE3", "TRIGGER_SOFTWARE",
     "BeamSteering", "BurstCamera", "Camera", "Stage", "get_xpr_angles",
-    "SimBeamSteering", "SimCamera", "SimConfig", "SimStage", "SimulatedRig",
+    "SimBeamSteering", "SimCamera", "SimConfig", "SimStage",
+    "SimStage3Axis", "SimulatedRig",
     "knife_edge_scene", "pinhole_scene",
 ]

@@ -81,13 +81,34 @@ def autofocus_sweep(cam, stage, start_mm: float, stop_mm: float,
                     coarse_points: int = 15, fine_points: int = 11,
                     metric: str = DEFAULT_METRIC, roi=None,
                     settle_s: float = 0.05, sleep_fn=time.sleep,
-                    progress: Optional[Callable] = None) -> Dict:
+                    progress: Optional[Callable] = None,
+                    axis: Optional[str] = None) -> Dict:
     """Coarse sweep, then a fine sweep +/-1 coarse step around the peak,
     then move to the global best (``calibrate_autofocus.py:248-285``).
 
-    Returns {best_pos_mm, best_metric, positions, values, metric}.
+    ``axis`` names which stage axis to drive on a 3-axis rig
+    (:class:`~.real.ZaberStage` / :class:`~.sim.SimStage3Axis` — the
+    reference sweeps the axis picked in its GUI combo, default Z,
+    ``calibrate_autofocus.py:390-392,590``); ``None`` uses the stage's
+    Stage-protocol surface (its configured focus axis, or a single-axis
+    stage).
+
+    Returns {best_pos_mm, best_metric, positions, values, metric[, axis]}.
     """
     metric_fn = FOCUS_METRICS[metric]
+    if axis is not None:
+        if not hasattr(stage, "move_axis"):
+            raise ValueError(f"axis={axis!r} requires a multi-axis stage "
+                             "(move_axis/axis_position)")
+
+        class _AxisView:
+            def move_absolute(self, mm, _s=stage, _a=axis):
+                _s.move_axis(_a, mm)
+
+            def get_position(self, _s=stage, _a=axis):
+                return _s.axis_position(_a)
+
+        stage = _AxisView()
 
     def measure(positions):
         vals = []
@@ -116,13 +137,16 @@ def autofocus_sweep(cam, stage, start_mm: float, stop_mm: float,
     positions, values = positions[order], values[order]
     best = int(np.argmax(values))
     stage.move_absolute(float(positions[best]))
-    return {
+    out = {
         "best_pos_mm": float(positions[best]),
         "best_metric": float(values[best]),
         "positions": positions.tolist(),
         "values": values.tolist(),
         "metric": metric,
     }
+    if axis is not None:
+        out["axis"] = axis
+    return out
 
 
 def depth_of_field(positions: Sequence[float], values: Sequence[float],

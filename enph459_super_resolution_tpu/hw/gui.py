@@ -143,17 +143,20 @@ if HAVE_QT:
         progress = QtCore.pyqtSignal(float, float)
         finished_sweep = QtCore.pyqtSignal(dict)
 
-        def __init__(self, cam, stage, start_mm, stop_mm, metric, roi):
+        def __init__(self, cam, stage, start_mm, stop_mm, metric, roi,
+                     axis=None):
             super().__init__()
             self.args = (cam, stage, start_mm, stop_mm)
             self.metric = metric
             self.roi = roi
+            self.axis = axis
 
         def run(self):
             cam, stage, start, stop = self.args
             res = autofocus_sweep(
                 cam, stage, start, stop, metric=self.metric, roi=self.roi,
-                progress=lambda p, v: self.progress.emit(p, v))
+                progress=lambda p, v: self.progress.emit(p, v),
+                axis=self.axis)
             self.finished_sweep.emit(res)
 
     class AutofocusGUI(QtWidgets.QMainWindow):
@@ -177,6 +180,16 @@ if HAVE_QT:
             layout.addWidget(self.view, 2)
 
             panel = QtWidgets.QVBoxLayout()
+            # focus-axis picker on 3-axis rigs (reference
+            # calibrate_autofocus.py:390-392 — combo over X/Y/Z, default Z)
+            self.axis_box = None
+            if hasattr(self.stage, "move_axis"):
+                self.axis_box = QtWidgets.QComboBox()
+                self.axis_box.addItems(list(self.stage.axes))
+                self.axis_box.setCurrentText(
+                    getattr(self.stage, "focus_axis", "Z"))
+                panel.addWidget(QtWidgets.QLabel("Focus axis"))
+                panel.addWidget(self.axis_box)
             self.metric_box = QtWidgets.QComboBox()
             self.metric_box.addItems(list(FOCUS_METRICS))
             self.metric_box.currentTextChanged.connect(self._on_metric)
@@ -205,9 +218,22 @@ if HAVE_QT:
             layout.addLayout(panel, 1)
             self.setCentralWidget(central)
 
+        def _axis(self):
+            return (self.axis_box.currentText() if self.axis_box is not None
+                    else None)
+
         def _jog(self, delta_mm: float):
-            self.stage.move_absolute(self.stage.get_position() + delta_mm)
-            self.pos_label.setText(f"stage: {self.stage.get_position():.3f} mm")
+            ax = self._axis()
+            if ax is not None:
+                self.stage.move_axis(
+                    ax, self.stage.axis_position(ax) + delta_mm)
+                self.pos_label.setText(
+                    f"stage {ax}: {self.stage.axis_position(ax):.3f} mm")
+            else:
+                self.stage.move_absolute(
+                    self.stage.get_position() + delta_mm)
+                self.pos_label.setText(
+                    f"stage: {self.stage.get_position():.3f} mm")
 
         def _on_metric(self, name: str):
             self.cam_thread.metric_name = name
@@ -246,10 +272,14 @@ if HAVE_QT:
 
         def _start_autofocus(self):
             self.af_btn.setEnabled(False)
-            lo, hi = getattr(self.stage, "travel", (0.0, 100.0))
+            ax = self._axis()
+            if ax is not None:
+                lo, hi = self.stage.limits[ax]
+            else:
+                lo, hi = getattr(self.stage, "travel", (0.0, 100.0))
             self.worker = AutofocusWorker(
                 self.cam, self.stage, lo, hi,
-                self.metric_box.currentText(), self.roi)
+                self.metric_box.currentText(), self.roi, axis=ax)
             self.worker.finished_sweep.connect(self._af_done)
             self.worker.start()
 
@@ -270,12 +300,13 @@ def main(argv=None) -> int:
               "headlessly via enph459_super_resolution_tpu.hw.autofocus",
               file=sys.stderr)
         return 2
-    from .sim import SimCamera, SimConfig, SimStage, SimulatedRig, pinhole_scene
+    from .sim import (SimCamera, SimConfig, SimStage3Axis, SimulatedRig,
+                      pinhole_scene)
 
     rig = SimulatedRig(scene=pinhole_scene((384, 512)),
                        config=SimConfig(lr_shape=(192, 256)))
     cam = SimCamera(rig)
-    stage = SimStage(rig)
+    stage = SimStage3Axis(rig)  # lockstep-X + Y/Z, focus on Z
     app = QtWidgets.QApplication(argv or sys.argv)
     gui = AutofocusGUI(cam, stage)
     gui.show()

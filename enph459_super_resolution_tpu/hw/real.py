@@ -19,8 +19,10 @@ Behavioral contracts replicated from the reference wrappers:
   * XPRController: connect + reset + go_pro, both channels StaticInput/
     UNITLESS, SmartFilters with 1.5 ms transition, batched ``set_angles``,
     GPIO0 trigger output + us pulse (``api/xpr_controller.py``).
-  * ZaberStage: serial connect, axis homing, soft limits, absolute moves in
-    mm (``calibration_autofocus/calibrate_autofocus.py:455-496``).
+  * ZaberStage: serial connect, 3-axis rig — lockstep-X gantry (fallback
+    plain axis 1) + Y (axis 3) / Z (axis 4), per-axis soft limits from
+    device settings, named-axis moves, Stage-protocol focus axis
+    (``calibration_autofocus/calibrate_autofocus.py:455-496``).
 """
 
 from __future__ import annotations
@@ -318,10 +320,29 @@ class XPRController:
 
 
 class ZaberStage:
-    """Zaber linear axis (focus stage) via zaber_motion."""
+    """3-axis Zaber rig via zaber_motion, the reference's stage layout
+    (``calibration_autofocus/calibrate_autofocus.py:455-496``):
 
-    def __init__(self, port: Optional[str] = None, axis_index: int = 1,
-                 soft_limits_mm: Tuple[float, float] = (0.0, 1000.0)):
+    * **X** — a two-motor gantry driven as ``device.get_lockstep(1)``,
+      falling back to plain ``get_axis(1)`` on rigs without a lockstep
+      group; limits always read from the *physical* axis 1 (a lockstep
+      group has no settings of its own).
+    * **Y** — ``get_axis(3)``, **Z** — ``get_axis(4)``.
+    * Per-axis soft limits from the device settings ``limit.min`` /
+      ``limit.max`` (reference ``:91-96`` ``_get_limit``), falling back
+      to (0, 100) mm when a setting is unreadable; ``soft_limits_mm``
+      overrides per axis name.
+
+    The :class:`~.protocols.Stage` protocol methods (``move_absolute`` /
+    ``get_position`` / ``home``) drive the ``focus_axis`` (default "Z",
+    the optical axis), so the autofocus core works unchanged; the named
+    API (:meth:`move_axis` etc.) exposes all three.
+    """
+
+    AXIS_NUMBERS = {"Y": 3, "Z": 4}
+
+    def __init__(self, port: Optional[str] = None, focus_axis: str = "Z",
+                 soft_limits_mm: Optional[dict] = None):
         try:
             from zaber_motion import Units  # type: ignore
             from zaber_motion.ascii import Connection  # type: ignore
@@ -330,13 +351,47 @@ class ZaberStage:
         self._units = Units
         if port:
             self._conn = Connection.open_serial_port(port)
+            self._conn.enable_alerts()
             devices = self._conn.detect_devices()
         else:
             self._conn, devices = self._discover(Connection)
         if not devices:
             raise RuntimeError("no Zaber devices found")
-        self._axis = devices[0].get_axis(axis_index)
-        self.soft_limits = soft_limits_mm
+        device = devices[0]
+        try:
+            x_axis = device.get_lockstep(1)
+            x_phys = device.get_axis(1)
+        except Exception:  # noqa: BLE001 — no lockstep group on this rig
+            x_axis = device.get_axis(1)
+            x_phys = x_axis
+        self._axes = {"X": x_axis}
+        self._phys = {"X": x_phys}
+        for name, num in self.AXIS_NUMBERS.items():
+            ax = device.get_axis(num)
+            self._axes[name] = ax
+            self._phys[name] = ax
+        if focus_axis not in self._axes:
+            raise ValueError(f"focus_axis must be one of "
+                             f"{sorted(self._axes)}, got {focus_axis!r}")
+        self.focus_axis = focus_axis
+        self.limits = {}
+        for name, phys in self._phys.items():
+            self.limits[name] = (self._setting(phys, "limit.min", 0.0),
+                                 self._setting(phys, "limit.max", 100.0))
+        if soft_limits_mm:
+            self.limits.update({k: tuple(v)
+                                for k, v in soft_limits_mm.items()})
+
+    def _setting(self, axis, name: str, fallback: float) -> float:
+        try:
+            return float(axis.settings.get(
+                name, self._units.LENGTH_MILLIMETRES))
+        except Exception:  # noqa: BLE001 — setting absent on this model
+            return fallback
+
+    @property
+    def axes(self):
+        return sorted(self._axes)
 
     @staticmethod
     def _discover(Connection):
@@ -376,20 +431,33 @@ class ZaberStage:
             "no Zaber devices found on any serial port "
             f"(probed: {candidates or 'none'}); pass port= explicitly")
 
+    # -- named-axis API (the 3-axis surface) --------------------------------
+
+    def move_axis(self, name: str, position_mm: float) -> None:
+        lo, hi = self.limits[name]
+        if not (lo <= position_mm <= hi):
+            raise ValueError(f"axis {name}: position {position_mm} outside "
+                             f"soft limits ({lo}, {hi})")
+        self._axes[name].move_absolute(position_mm,
+                                       self._units.LENGTH_MILLIMETRES)
+
+    def axis_position(self, name: str) -> float:
+        return float(self._axes[name].get_position(
+            self._units.LENGTH_MILLIMETRES))
+
+    def home_axis(self, name: str) -> None:
+        self._axes[name].home()
+
+    # -- Stage protocol: drives the focus axis ------------------------------
+
     def home(self) -> None:
-        self._axis.home()
+        self.home_axis(self.focus_axis)
 
     def move_absolute(self, position_mm: float) -> None:
-        lo, hi = self.soft_limits
-        if not (lo <= position_mm <= hi):
-            raise ValueError(f"position {position_mm} outside soft limits "
-                             f"({lo}, {hi})")
-        self._axis.move_absolute(position_mm,
-                                 self._units.LENGTH_MILLIMETRES)
+        self.move_axis(self.focus_axis, position_mm)
 
     def get_position(self) -> float:
-        return float(self._axis.get_position(
-            self._units.LENGTH_MILLIMETRES))
+        return self.axis_position(self.focus_axis)
 
     def close(self) -> None:
         self._conn.close()

@@ -354,3 +354,66 @@ class SimStage:
 
     def home(self) -> None:
         self.move_absolute(self.travel[0])
+
+
+class SimStage3Axis:
+    """Sim twin of the 3-axis rig (:class:`~.real.ZaberStage`): lockstep-X
+    gantry + Y/Z axes, focus axis by name (reference
+    ``calibration_autofocus/calibrate_autofocus.py:455-496``; the GUI's
+    axis combo defaults to Z, ``:390-392``).
+
+    Only the ``focus_axis`` affects the rendered frames (it drives the
+    :class:`SimStage` defocus model); X/Y track positions and enforce
+    their own soft limits like the real gantry.  X is a lockstep pair —
+    both simulated motors move together and :attr:`lockstep_positions`
+    exposes them for drift tests.
+    """
+
+    def __init__(self, rig: SimulatedRig, best_pos_mm: float = 369.23,
+                 depth_of_focus_mm: float = 3.0, focus_axis: str = "Z",
+                 limits=None):
+        if focus_axis not in ("X", "Y", "Z"):
+            raise ValueError(f"focus_axis must be X/Y/Z, got {focus_axis!r}")
+        self.focus_axis = focus_axis
+        self.limits = dict(limits or {"X": (0.0, 600.0), "Y": (0.0, 100.0),
+                                      "Z": (340.0, 400.0)})
+        self._focus = SimStage(rig, best_pos_mm, depth_of_focus_mm,
+                               travel=self.limits[focus_axis])
+        self._pos = {name: lo for name, (lo, hi) in self.limits.items()}
+        self._pos[focus_axis] = self._focus.get_position()
+        self._x_motors = [self._pos["X"], self._pos["X"]]  # lockstep pair
+
+    @property
+    def axes(self):
+        return sorted(self._pos)
+
+    @property
+    def lockstep_positions(self):
+        return tuple(self._x_motors)
+
+    def move_axis(self, name: str, position_mm: float) -> None:
+        lo, hi = self.limits[name]
+        if not (lo <= position_mm <= hi):
+            raise ValueError(f"axis {name}: position {position_mm} outside "
+                             f"soft limits ({lo}, {hi})")
+        if name == self.focus_axis:
+            self._focus.move_absolute(position_mm)
+        self._pos[name] = float(position_mm)
+        if name == "X":
+            self._x_motors = [float(position_mm)] * 2
+
+    def axis_position(self, name: str) -> float:
+        return self._pos[name]
+
+    def home_axis(self, name: str) -> None:
+        self.move_axis(name, self.limits[name][0])
+
+    # Stage protocol: drives the focus axis
+    def move_absolute(self, position_mm: float) -> None:
+        self.move_axis(self.focus_axis, position_mm)
+
+    def get_position(self) -> float:
+        return self._pos[self.focus_axis]
+
+    def home(self) -> None:
+        self.home_axis(self.focus_axis)

@@ -403,3 +403,171 @@ def test_xpr_gpio_pulse_protocol(monkeypatch):
     x.send_trigger_pulse(width_us=10.0)
     # output mode, idle-low init, then a 1 -> 0 pulse
     assert icc.gpio[0].log == ["output", 0, 1, 0]
+
+
+# --------------------------------------------------------------------------
+# fake zaber_motion (3-axis stage: lockstep X + Y/Z)
+# --------------------------------------------------------------------------
+
+class _FakeZaberAxis:
+    def __init__(self, settings=None, fail_settings=False):
+        self._settings = settings or {}
+        self._fail = fail_settings
+        self.pos = 0.0
+        self.moves = []
+        self.homed = 0
+        ax = self
+
+        class _Settings:
+            def get(self, name, units):
+                if ax._fail or name not in ax._settings:
+                    raise RuntimeError(f"setting {name} unavailable")
+                return ax._settings[name]
+
+        self.settings = _Settings()
+
+    def move_absolute(self, pos, units):
+        self.pos = float(pos)
+        self.moves.append(float(pos))
+
+    def get_position(self, units):
+        return self.pos
+
+    def home(self):
+        self.homed += 1
+
+
+class _FakeZaberDevice:
+    """Reference rig: lockstep group 1 over two X motors, plain Y=3, Z=4
+    (``calibration_autofocus/calibrate_autofocus.py:474-481``)."""
+
+    def __init__(self, has_lockstep=True, axis_settings=None):
+        axis_settings = axis_settings or {}
+        self._has_lockstep = has_lockstep
+        self.axes = {n: _FakeZaberAxis(**axis_settings.get(n, {}))
+                     for n in (1, 3, 4)}
+        self.lockstep = _FakeZaberAxis()  # no settings of its own
+
+    def get_lockstep(self, n):
+        if not self._has_lockstep:
+            raise RuntimeError("no lockstep group")
+        return self.lockstep
+
+    def get_axis(self, n):
+        return self.axes[n]
+
+
+def _install_fake_zaber(monkeypatch, device):
+    zm = types.ModuleType("zaber_motion")
+
+    class Units:
+        LENGTH_MILLIMETRES = "mm"
+
+    zm.Units = Units
+    ascii_mod = types.ModuleType("zaber_motion.ascii")
+
+    class Connection:
+        alerts = 0
+        closed = 0
+
+        @classmethod
+        def open_serial_port(cls, port):
+            conn = cls()
+            conn.port = port
+            return conn
+
+        def enable_alerts(self):
+            Connection.alerts += 1
+
+        def detect_devices(self):
+            return [device]
+
+        def close(self):
+            Connection.closed += 1
+
+    ascii_mod.Connection = Connection
+    zm.ascii = ascii_mod
+    monkeypatch.setitem(sys.modules, "zaber_motion", zm)
+    monkeypatch.setitem(sys.modules, "zaber_motion.ascii", ascii_mod)
+    return Connection
+
+
+def test_zaber_three_axis_layout_and_limits(monkeypatch):
+    """Lockstep X preferred (limits from the PHYSICAL axis 1), Y=axis 3,
+    Z=axis 4, limits from device settings with (0, 100) fallback."""
+    from enph459_super_resolution_tpu.hw.real import ZaberStage
+
+    dev = _FakeZaberDevice(axis_settings={
+        1: {"settings": {"limit.min": 5.0, "limit.max": 595.0}},
+        3: {"settings": {"limit.min": 0.0, "limit.max": 80.0}},
+        4: {"fail_settings": True},  # unreadable -> (0, 100) fallback
+    })
+    conn = _install_fake_zaber(monkeypatch, dev)
+    st = ZaberStage(port="/dev/ttyFAKE0")
+    assert conn.alerts >= 1
+    assert st.axes == ["X", "Y", "Z"]
+    assert st.limits["X"] == (5.0, 595.0)   # from phys axis 1
+    assert st.limits["Y"] == (0.0, 80.0)
+    assert st.limits["Z"] == (0.0, 100.0)   # fallback
+    # X moves drive the LOCKSTEP group, not the physical axis
+    st.move_axis("X", 10.0)
+    assert dev.lockstep.moves == [10.0]
+    assert dev.axes[1].moves == []
+    # Stage protocol drives the focus axis (default Z = axis 4)
+    st.move_absolute(42.0)
+    assert dev.axes[4].moves == [42.0]
+    assert st.get_position() == 42.0
+    st.home()
+    assert dev.axes[4].homed == 1
+    with pytest.raises(ValueError, match="soft limits"):
+        st.move_axis("Y", 81.0)
+    st.close()
+    assert conn.closed == 1
+
+
+def test_zaber_lockstep_fallback_and_focus_axis(monkeypatch):
+    """Rigs without a lockstep group fall back to plain axis 1 for X
+    (reference ``:477-479``); focus_axis is selectable by name."""
+    from enph459_super_resolution_tpu.hw.real import ZaberStage
+
+    dev = _FakeZaberDevice(has_lockstep=False)
+    _install_fake_zaber(monkeypatch, dev)
+    st = ZaberStage(port="/dev/ttyFAKE0", focus_axis="X",
+                    soft_limits_mm={"X": (0.0, 600.0)})
+    st.move_absolute(123.0)
+    assert dev.axes[1].moves == [123.0]  # plain axis, no lockstep
+    assert st.limits["X"] == (0.0, 600.0)
+    with pytest.raises(ValueError, match="focus_axis"):
+        ZaberStage(port="/dev/ttyFAKE0", focus_axis="Q")
+
+
+def test_autofocus_sweep_by_axis_name_on_sim_3axis():
+    """The autofocus core drives a named axis of the 3-axis sim twin and
+    recovers the rig's best focus on it."""
+    from enph459_super_resolution_tpu.hw.autofocus import autofocus_sweep
+    from enph459_super_resolution_tpu.hw.sim import (
+        SimCamera, SimConfig, SimStage3Axis, SimulatedRig, pinhole_scene)
+
+    cfg = SimConfig(lr_shape=(96, 128), jitter_sigma_px=0.0,
+                    unsettled_jitter_px=0.0, seed=1, read_noise=0.1,
+                    shot_noise_scale=0.0)
+    rig = SimulatedRig(scene=pinhole_scene((192, 256), center=(96.0, 128.0)),
+                       config=cfg)
+    cam = SimCamera(rig)
+    stage = SimStage3Axis(rig, best_pos_mm=369.23, focus_axis="Z",
+                          limits={"X": (0.0, 600.0), "Y": (0.0, 100.0),
+                                  "Z": (350.0, 390.0)})
+    y_before = stage.axis_position("Y")
+    res = autofocus_sweep(cam, stage, 355.0, 385.0, coarse_points=7,
+                          fine_points=5, settle_s=0.0, sleep_fn=lambda s: None,
+                          axis="Z")
+    assert res["axis"] == "Z"
+    assert abs(res["best_pos_mm"] - 369.23) < 3.0
+    assert stage.axis_position("Y") == y_before  # other axes untouched
+    # X is a lockstep pair: both motors track together
+    stage.move_axis("X", 50.0)
+    assert stage.lockstep_positions == (50.0, 50.0)
+    # a single-axis stage rejects axis= requests
+    from enph459_super_resolution_tpu.hw.sim import SimStage
+    with pytest.raises(ValueError, match="multi-axis"):
+        autofocus_sweep(cam, SimStage(rig), 355.0, 385.0, axis="Z")
