@@ -152,6 +152,92 @@ def register_burst_phases_banded(lr_stack, reg_ops):
     return jnp.stack(outs, axis=-1)
 
 
+def build_register_phase_conv(shifts_yx, factor: int):
+    """STATIC shifts -> the whole polyphase registration as ONE small
+    conv: kernel ``[KH, KW, N, N*factor^2]`` mapping the frame-channel
+    stack to all frames' phase channels in one pass.
+
+    The round-5 chip breakdown measured the 16-separable-apply banded
+    registration at 191 ms of the 422 ms burst engine (~45%) at flagship
+    geometry — the banded machinery is right for the classical solver's
+    wide operators but wrong for sixteen 5-tap stencils.  Each frame's
+    phase plane is a separable 5x5 (window-anchored) stencil on that
+    frame alone, so the full registration is exactly a ``KH x KW`` conv
+    from N in-channels (frames) to ``N * factor^2`` out-channels (phases,
+    frame-major, :func:`~..ops.resize.keys_register_phases` layout) whose
+    kernel is block-diagonal over frames — one MXU conv instead of 16
+    banded matmuls + a 16-plane stack.
+
+    Boundary: the Keys registration's 'nearest' index clamp IS
+    edge-replicate padding, so :func:`register_burst_phases_conv` pads
+    with ``mode='edge'`` and convolves VALID — exact at every pixel,
+    including the image edges (parity with the banded path pinned in
+    tests/test_burst_lr.py).
+
+    Returns a :class:`RegisterConv` (a pytree: the kernel is a leaf, the
+    pad widths are static aux data, so it rides through jit as an
+    argument).
+    """
+    shifts = np.asarray(shifts_yx, np.float64)
+    n = len(shifts)
+    ff = factor * factor
+    taps = [(_keys_phase_taps_np(s[0], factor),
+             _keys_phase_taps_np(s[1], factor)) for s in shifts]
+    lo_y = min(by - 1 for (by, _), _ in taps)
+    hi_y = max(by + 3 for (by, _), _ in taps)
+    lo_x = min(bx - 1 for _, (bx, _) in taps)
+    hi_x = max(bx + 3 for _, (bx, _) in taps)
+    kernel = np.zeros((hi_y - lo_y + 1, hi_x - lo_x + 1, n, n * ff),
+                      np.float64)
+    for i, ((by, wy), (bx, wx)) in enumerate(taps):
+        for py in range(factor):
+            for px in range(factor):
+                out_c = i * ff + py * factor + px
+                ky = by - 1 - lo_y
+                kx = bx - 1 - lo_x
+                kernel[ky:ky + 5, kx:kx + 5, i, out_c] = np.outer(
+                    wy[py], wx[px])
+    return RegisterConv(jnp.asarray(kernel.astype(np.float32)),
+                        (-lo_y, hi_y), (-lo_x, hi_x))
+
+
+@jax.tree_util.register_pytree_node_class
+class RegisterConv:
+    """Polyphase registration as one conv (see
+    :func:`build_register_phase_conv`).  Calling it IS the registration:
+    ``f32[N, h, w]`` or ``f32[B, N, h, w]`` -> ``f32[h, w, N*ff]`` /
+    ``f32[B, h, w, N*ff]``."""
+
+    def __init__(self, kernel, pads_y, pads_x):
+        self.kernel = kernel
+        self.pads_y = tuple(int(p) for p in pads_y)
+        self.pads_x = tuple(int(p) for p in pads_x)
+
+    def __call__(self, lr_stack):
+        squeeze = lr_stack.ndim == 3
+        if squeeze:
+            lr_stack = lr_stack[None]
+        x = jnp.moveaxis(lr_stack, 1, -1)  # (B, h, w, N)
+        x = jnp.pad(x, ((0, 0), self.pads_y, self.pads_x, (0, 0)),
+                    mode="edge")
+        out = jax.lax.conv_general_dilated(
+            x, jnp.asarray(self.kernel, x.dtype), window_strides=(1, 1),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out[0] if squeeze else out
+
+    def tree_flatten(self):
+        return (self.kernel,), (self.pads_y, self.pads_x)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], *aux)
+
+
+def register_burst_phases_conv(lr_stack, reg_conv: "RegisterConv"):
+    """:func:`register_burst_phases` via the one-conv path."""
+    return reg_conv(lr_stack)
+
+
 def simulate_burst(hr, shifts_yx, psf, factor: int,
                    noise_sigma=0.0, key=None):
     """HR scene -> LR burst via the classical forward model.
@@ -293,10 +379,11 @@ class FusionEngine:
         self._jitted = OrderedDict()  # psf bytes -> compiled fn
         self._jitted_cap = 4
         # serving shifts are static config -> the polyphase registration
-        # bakes into banded MXU operators per shift set (the traced
-        # elementwise form measures 25-50x off roofline on this backend;
-        # PERF_NOTES round 4).  Only the LR (polyphase) arch has a banded
-        # twin; reg-op pytrees cache per (shifts, shape).
+        # bakes into ONE small conv per shift set (round 5; the traced
+        # elementwise form measures 25-50x off roofline and the round-4
+        # banded form cost 45% of the engine — PERF_NOTES).  Only the LR
+        # (polyphase) arch has a static twin; RegisterConv caches per
+        # shift set (shape-independent).
         self.static_register = (static_register and
                                 self.register is register_burst_phases)
         self._reg_ops = OrderedDict()
@@ -315,7 +402,9 @@ class FusionEngine:
             def _run(params, lr_stack, shifts, reg_ops):
                 if reg_ops is None:
                     stack = self.register(lr_stack, shifts, self.factor)
-                else:
+                elif isinstance(reg_ops, RegisterConv):
+                    stack = reg_ops(lr_stack)
+                else:  # legacy banded operator pytree
                     stack = register_burst_phases_banded(lr_stack, reg_ops)
                 sr = self.apply_fn(params, stack[None])[0, ..., 0]
                 sr = jnp.clip(sr, 0.0, 255.0)
@@ -369,16 +458,19 @@ class FusionEngine:
         fn = self._compiled(psf_np)
         reg_ops = None
         if self.static_register:
+            # one-conv registration (round 5): the banded 16-apply path
+            # measured 191 ms of the 422 ms engine at flagship geometry;
+            # the same stencils as one 4->16ch conv cost ~2 ms.  The
+            # kernel depends only on the shifts, not the frame shape.
             s_np = np.asarray(shifts_yx, np.float64)
-            rk = (s_np.tobytes(), lr_stack.shape)
+            rk = s_np.tobytes()
             if rk in self._reg_ops:
                 self._reg_ops.move_to_end(rk)
             else:
                 while len(self._reg_ops) >= self._reg_ops_cap:
                     self._reg_ops.popitem(last=False)
-                self._reg_ops[rk] = build_register_phase_ops(
-                    s_np, int(lr_stack.shape[1]), int(lr_stack.shape[2]),
-                    self.factor)
+                self._reg_ops[rk] = build_register_phase_conv(
+                    s_np, self.factor)
             reg_ops = self._reg_ops[rk]
         elif self.register is register_burst_phases:
             # traced polyphase path: the pad-6 dynamic_slice tap window

@@ -250,3 +250,73 @@ class TestBandedRegistration:
         np.testing.assert_allclose(np.asarray(sr_s), np.asarray(sr_t),
                                    atol=0.5)
         np.testing.assert_allclose(float(mse_s), float(mse_t), rtol=1e-3)
+
+
+class TestConvRegistration:
+    """Static-shift registration as ONE conv (round 5): the serving path
+    — build_register_phase_conv / RegisterConv — must match both the
+    banded and the traced forms, including the 'nearest' edge clamp
+    (realized as edge-replicate padding) and batched bursts."""
+
+    def test_conv_matches_banded_and_traced(self):
+        rng = np.random.default_rng(5)
+        from enph459_super_resolution_tpu.sr.fusion import (
+            build_register_phase_conv, build_register_phase_ops,
+            register_burst_phases_banded, register_burst_phases_conv)
+
+        lr = rng.uniform(0, 255, (4, 40, 48)).astype(np.float32)
+        shifts = np.asarray(SHIFTS, np.float64) + rng.normal(0, 0.3, (4, 2))
+        traced = np.asarray(register_burst_phases(
+            jnp.asarray(lr), jnp.asarray(shifts, jnp.float32), 2))
+        ops = build_register_phase_ops(shifts, 40, 48, 2)
+        banded = np.asarray(jax.jit(register_burst_phases_banded)(lr, ops))
+        conv = build_register_phase_conv(shifts, 2)
+        # through jit as an ARGUMENT (pads are static aux data)
+        got = np.asarray(jax.jit(register_burst_phases_conv)(lr, conv))
+        assert got.shape == (40, 48, 16)
+        np.testing.assert_allclose(got, banded, atol=5e-4)
+        np.testing.assert_allclose(got, traced, atol=2e-3)
+
+    def test_conv_matches_banded_large_shift_boundary(self):
+        rng = np.random.default_rng(6)
+        from enph459_super_resolution_tpu.sr.fusion import (
+            build_register_phase_conv, build_register_phase_ops,
+            register_burst_phases_banded, register_burst_phases_conv)
+
+        lr = rng.uniform(0, 255, (2, 16, 20)).astype(np.float32)
+        shifts = np.asarray([[1.7, -2.3], [-1.1, 2.9]])
+        ops = build_register_phase_ops(shifts, 16, 20, 2)
+        banded = np.asarray(jax.jit(register_burst_phases_banded)(lr, ops))
+        conv = build_register_phase_conv(shifts, 2)
+        got = np.asarray(jax.jit(register_burst_phases_conv)(lr, conv))
+        np.testing.assert_allclose(got, banded, atol=5e-4)
+
+    def test_conv_batched_bursts(self):
+        rng = np.random.default_rng(7)
+        from enph459_super_resolution_tpu.sr.fusion import (
+            build_register_phase_conv, register_burst_phases_conv)
+
+        bursts = rng.uniform(0, 255, (3, 4, 24, 32)).astype(np.float32)
+        conv = build_register_phase_conv(SHIFTS, 2)
+        got = np.asarray(register_burst_phases_conv(
+            jnp.asarray(bursts), conv))
+        assert got.shape == (3, 24, 32, 16)
+        for b in range(3):
+            one = np.asarray(register_burst_phases_conv(
+                jnp.asarray(bursts[b]), conv))
+            np.testing.assert_allclose(got[b], one, atol=1e-4)
+
+    def test_engine_uses_conv_register(self, tmp_path):
+        from enph459_super_resolution_tpu.sr.fusion import RegisterConv
+        from enph459_super_resolution_tpu.train.burst import train_burst
+
+        run = str(tmp_path / "run")
+        train_burst(steps=3, batch=2, lr_patch=12, pool_images=10,
+                    arch="lr", n_feats=8, n_resblocks=2,
+                    out_dir=run, eval_every=3, ckpt_every=3, seed=0)
+        eng = FusionEngine(run)
+        rng = np.random.default_rng(8)
+        lr = rng.uniform(0, 255, (4, 24, 32)).astype(np.float32)
+        eng(lr, SHIFTS, make_gaussian_psf())
+        (reg,) = eng._reg_ops.values()
+        assert isinstance(reg, RegisterConv)
