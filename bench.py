@@ -404,8 +404,7 @@ def main() -> int:
     # serving mode).
     from enph459_super_resolution_tpu.models import create_model
     from enph459_super_resolution_tpu.sr.fusion import (
-        NOMINAL_SHIFTS_4, build_register_phase_ops,
-        register_burst_phases_banded)
+        NOMINAL_SHIFTS_4, build_register_phase_conv)
 
     bf_h, bf_w = (h, w) if not args.smoke else (128, 160)
     bmodel = create_model("burstfusion_lr", n_frames=4, factor=2,
@@ -414,28 +413,54 @@ def main() -> int:
         rng.uniform(0, 255, (4, bf_h, bf_w)).astype(np.float32), dev)
     bparams = bmodel.init(jax.random.PRNGKey(1),
                           jnp.zeros((1, 64, 64, 16), jnp.float32))
-    # serving shifts are static config -> banded-MXU registration
-    # (FusionEngine's default path; PERF_NOTES round 4)
-    reg_ops = build_register_phase_ops(NOMINAL_SHIFTS_4, bf_h, bf_w, 2)
+    # serving shifts are static config -> the whole polyphase registration
+    # bakes into ONE conv (FusionEngine's default path; round 5 — the
+    # round-4 banded form cost 45% of the engine, PERF_NOTES)
+    reg_conv = jax.device_put(build_register_phase_conv(NOMINAL_SHIFTS_4, 2),
+                              dev)
     nrep_bf = 2 if args.smoke else 8
 
     @jax.jit
-    def burst_loop(p, stack, ops):
+    def burst_loop(p, stack, k):
         def body(i, v):
-            phases = register_burst_phases_banded(v, ops)
+            phases = k(v)
             sr = jnp.clip(bmodel.apply(p, phases[None])[0, ..., 0],
                           0.0, 255.0)
             return v + 1e-12 * sr[None, ::2, ::2]
         return jax.lax.fori_loop(0, nrep_bf, body, stack)
 
-    float(np.asarray(burst_loop(bparams, burst_lr, reg_ops)).ravel()[0])  # compile
+    float(np.asarray(burst_loop(bparams, burst_lr, reg_conv)).ravel()[0])  # compile
     bf_times = []
     for _ in range(3 if args.smoke else 5):
         t0 = time.perf_counter()
-        float(np.asarray(burst_loop(bparams, burst_lr, reg_ops)).ravel()[0])
+        float(np.asarray(burst_loop(bparams, burst_lr, reg_conv)).ravel()[0])
         bf_times.append((time.perf_counter() - t0) / nrep_bf)
     t_bf = float(np.median(bf_times))
     bf_mpix = (bf_h * 2) * (bf_w * 2) / 1e6 / t_bf
+
+    # batched-burst serving (mirrors solve_batch's role for the classical
+    # engine): K bursts registered + fused as one batched apply
+    nb_bf = 2 if args.smoke else 4
+    bursts_b = jax.device_put(
+        rng.uniform(0, 255, (nb_bf, 4, bf_h, bf_w)).astype(np.float32), dev)
+
+    @jax.jit
+    def burst_loop_b(p, stacks, k):
+        def body(i, v):
+            phases = k(v)  # (K, h, w, N*ff)
+            sr = jnp.clip(bmodel.apply(p, phases)[..., 0], 0.0, 255.0)
+            return v + 1e-12 * sr[:, None, ::2, ::2]
+        return jax.lax.fori_loop(0, nrep_bf, body, stacks)
+
+    float(np.asarray(burst_loop_b(bparams, bursts_b, reg_conv)).ravel()[0])
+    bfb_times = []
+    for _ in range(3 if args.smoke else 5):
+        t0 = time.perf_counter()
+        float(np.asarray(
+            burst_loop_b(bparams, bursts_b, reg_conv)).ravel()[0])
+        bfb_times.append((time.perf_counter() - t0) / nrep_bf)
+    t_bfb = float(np.median(bfb_times))
+    bfb_mpix = nb_bf * (bf_h * 2) * (bf_w * 2) / 1e6 / t_bfb
 
     # CPU reference baseline (cached)
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -499,7 +524,10 @@ def main() -> int:
         "burst_fusion_mpix_per_s": round(bf_mpix, 2),
         "burst_fusion_s_per_burst": round(t_bf, 4),
         "burst_fusion_s_spread": spread(bf_times),
-        "burst_fusion_arch": "burstfusion_lr/bf16+banded-reg",
+        "burst_fusion_batch%d_mpix_per_s" % nb_bf: round(bfb_mpix, 2),
+        "burst_fusion_batch_s_spread": spread(
+            [t / nb_bf for t in bfb_times]),
+        "burst_fusion_arch": "burstfusion_lr/bf16+conv-reg",
         "smoke": bool(args.smoke),
     }
     os.environ.update(saved_env)
