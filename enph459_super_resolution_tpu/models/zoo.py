@@ -236,6 +236,12 @@ class EDSRMoE(nn.Module):
     ``train.loop --model edsr_moe --mesh "dp=2,ep=4"``
     (loss-trajectory parity with the unsharded evaluation pinned in
     tests/test_moe_parallel.py, the pipeline-parallel standard).
+
+    Quality note (round-5 matched-FLOP ablation, RESULTS.md): at SR
+    scale the gated trunk does NOT beat a dense EDSR of equal trunk
+    FLOPs on either the edges or natural pools — this class is the
+    expert-parallel product surface (the ``ep`` sharding pattern), not
+    a quality recommendation.
     """
 
     scale: int = 4
