@@ -27,8 +27,11 @@ import numpy as np
 from ..data.io import load_gray
 from .decode import HAVE_ZXING, decode_confidence
 
+#: decode targets per rep dir; files absent in a dir are skipped, so the
+#: learned engine's output (written only under ``sr.run --fusion-run``)
+#: rides the same protocol when present
 METHODS = [("Native-2x", "native_2x.png"), ("SAA", "SAA.png"),
-           ("SAA+IBP", "SAA_IBP.png")]
+           ("SAA+IBP", "SAA_IBP.png"), ("Fusion", "fusion.png")]
 
 #: Corrected ROIs for the reference's real rgb_barcodes sessions
 #: (``--rois rgb``).  The notebook's checked-in SESSION_ROIS truncate the

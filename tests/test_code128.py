@@ -219,3 +219,43 @@ class TestOurSrOutputs:
             max_jitter=2, seed=42, decoder=decode)
         assert text == "004.0r-006c+049"
         assert conf == 0.76
+
+
+@pytest.mark.skipif(not os.path.isdir(OURS),
+                    reason="checked-in artifacts missing")
+class TestLearnedEngineOnRealData:
+    """The LEARNED burst engine's real-data decode story (round 5): the
+    checked-in artifacts also carry fusion.png per rep — the synthetic-
+    pool-trained BurstFusionLR (+30 banded data-consistency iterations,
+    ``sr.run --fusion-run <run> --fusion-refine 30``) applied to the raw
+    reference captures.  The refined output decodes the real symbols
+    (domain transfer via the data-consistency prior: raw-net forward MSE
+    ~377 contracts to 6.2, below classical IBP80's 7.0), though classical
+    SAA+IBP keeps the higher 4-mil confidence on the real sensor —
+    recorded honestly in decode_confidence.json."""
+
+    def test_fusion_rows_goldened(self):
+        with open(os.path.join(OURS, "decode_confidence.json")) as fp:
+            data = json.load(fp)
+        recs = {(r["rep"], r["method"], r["label"]): r
+                for s in data["sessions"] for r in s["records"]}
+        for rep in ("rep0", "rep1"):
+            assert recs[(rep, "Fusion", "6 mil")]["confidence"] == 1.0
+            assert recs[(rep, "Fusion", "5 mil")]["confidence"] == 1.0
+        r4 = recs[("rep0", "Fusion", "4 mil")]
+        assert r4["decoded_text"] == "004.0r-006c+049"
+        assert r4["confidence"] >= 0.3
+        # classical SAA+IBP stays ahead at 4 mil on the real sensor
+        assert (recs[("rep0", "SAA+IBP", "4 mil")]["confidence"]
+                > r4["confidence"])
+
+    def test_fusion_metrics_fit(self):
+        sess = "4_6_mil_color_tilt 0.28256_settle50ms"
+        with open(os.path.join(OURS, sess, "rep0", "metrics.json")) as fp:
+            m = json.load(fp)
+        # refinement contracts the raw net output's forward residual to
+        # BELOW the classical IBP80 fit on the same unit
+        assert m["fusion_forward_mse"] < m["final_mse"]
+        assert m["fusion_forward_mse_raw"] > m["fusion_forward_mse"]
+        p = os.path.join(OURS, sess, "rep0", "fusion.png")
+        assert os.path.exists(p)
