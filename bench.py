@@ -438,6 +438,23 @@ def main() -> int:
     t_bf = float(np.median(bf_times))
     bf_mpix = (bf_h * 2) * (bf_w * 2) / 1e6 / t_bf
 
+    # chained device-time variant (2x-longer rolled loop, one fetch)
+    nrep_bf2 = 2 * nrep_bf
+
+    @jax.jit
+    def burst_loop2(p, stack, k):
+        def body(i, v):
+            phases = k(v)
+            sr = jnp.clip(bmodel.apply(p, phases[None])[0, ..., 0],
+                          0.0, 255.0)
+            return v + 1e-12 * sr[None, ::2, ::2]
+        return jax.lax.fori_loop(0, nrep_bf2, body, stack)
+
+    float(np.asarray(burst_loop2(bparams, burst_lr, reg_conv)).ravel()[0])
+    t0 = time.perf_counter()
+    float(np.asarray(burst_loop2(bparams, burst_lr, reg_conv)).ravel()[0])
+    t_bf_chained = (time.perf_counter() - t0) / nrep_bf2
+
     # batched-burst serving (mirrors solve_batch's role for the classical
     # engine): K bursts registered + fused as one batched apply
     nb_bf = 2 if args.smoke else 4
@@ -524,6 +541,9 @@ def main() -> int:
         "burst_fusion_mpix_per_s": round(bf_mpix, 2),
         "burst_fusion_s_per_burst": round(t_bf, 4),
         "burst_fusion_s_spread": spread(bf_times),
+        "burst_fusion_s_chained": round(t_bf_chained, 4),
+        "burst_fusion_mpix_per_s_chained": round(
+            (bf_h * 2) * (bf_w * 2) / 1e6 / t_bf_chained, 2),
         "burst_fusion_batch%d_mpix_per_s" % nb_bf: round(bfb_mpix, 2),
         "burst_fusion_batch_s_spread": spread(
             [t / nb_bf for t in bfb_times]),
