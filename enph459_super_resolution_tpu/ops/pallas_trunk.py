@@ -12,23 +12,28 @@ activations never leaving VMEM between convs.
 Design (TPU-first, not a port — the reference has no neural stack; this
 accelerates the EDSR north-star config from /root/repo/BASELINE.json):
 
-- **Flat packed layout.** The (H+2)x(W'+2) zero-padded image is flattened
-  row-major and consecutive pixel PAIRS are packed into one 128-lane row
-  (``[n_rows, 128]`` = 2 pixels x 64 features) — the MXU's native lane
-  width, no 64->128 padding waste.  A 3x3 tap at pixel offset ``o``
-  becomes a row shift by ``o//2`` in the even-aligned slab (``o`` even) or
-  in a lane-rotated odd-aligned copy (``o`` odd), and the tap weight
-  becomes ``blockdiag(W_t, W_t)`` acting on both packed pixels at once.
+- **Half-split flat layout.** The (H+2)x(W'+2) zero-padded image is
+  flattened row-major and split in half: packed row ``r`` holds pixel
+  ``r``'s 64 features in lanes 0:64 and pixel ``r + npix/2``'s in lanes
+  64:128 — the MXU's native lane width with no 64->128 padding waste,
+  and (unlike adjacent-pair packing) a 3x3 tap at pixel offset ``o`` is
+  a PURE row shift by ``o`` for both lane halves, so no lane-crossing
+  ops are ever needed (Mosaic v5e rejects sub-vreg lane slices and bf16
+  lane rotates).  The tap weight is ``blockdiag(W_t, W_t)`` acting on
+  both packed pixels at once.  Row shifts are realized as 8-aligned
+  window loads plus static value slices (the aligned-load form Mosaic
+  accepts; unaligned ``vector.load`` offsets are rejected).
 - **Banded grid with halo.** The flat array is split into bands of ``Rp``
   packed rows; each grid step DMAs its band plus a ``halo`` of
-  ``n_convs * (W'//2 + 2)`` rows into a VMEM slab and runs every conv of
+  ``n_convs * (W'+3)`` rows into a VMEM slab and runs every conv of
   the group over the slab (validity shrinks one conv-reach per layer; the
   central band stays exact).  Borders/halo wrap-garbage is re-zeroed each
   conv by an in-kernel position mask, which is also what realizes the
   'SAME' zero-padding semantics.
 - **MXU shapes.** Per conv, taps are grouped ``g2`` at a time into
-  ``[CH, g2*128] @ [g2*128, 128]`` bf16 dots with f32 accumulation — the
-  probe's packed-pair shape (89-93 TFLOP/s nominal = ~45 TRUE on chip).
+  ``[CH, g2*128] @ [g2*128, 128]`` bf16 dots with f32 accumulation
+  (g2=1: nine [CH,128]@[128,128] dots — the probe's packed shape,
+  89-93 TFLOP/s nominal = ~45 TRUE on chip).
 
 Used by ``models.fused.edsr_apply_fused`` (EDSR serving) and the burst
 fusion engine's trunk.  Correctness is pinned against the flax ResBlock
@@ -58,29 +63,24 @@ def _geometry(H: int, W: int, n_convs: int, band: int, chunk: int):
     stride = W + 2 + ((W + 2) % 2)       # padded width, forced even
     npix = (H + 2) * stride              # flat padded pixels (even)
     npk = npix // 2                      # packed rows holding the image
-    halo1 = stride // 2 + 1              # packed halo of ONE conv (reach
-    # o in [-(stride+1), stride+1] pixels -> packed |row shift| <= this)
+    halo1 = stride + 1                   # row reach of ONE conv (tap
+    # offsets o in [-(stride+1), stride+1] = row shifts in the
+    # half-split layout)
     hp = _r8(n_convs * halo1)            # halo rows per band side
     rp = max(_r8(band), hp)              # band rows
     nbands = -(-npk // rp)
     nb = nbands + 2                      # + leading/trailing zero bands
-    mp = _r8(stride // 2 + 24)           # slab margin (>= tap reach + 8)
+    mp = _r8(stride + 24)                # slab margin (>= tap reach + 8)
     ncch = -(-(rp + 2 * hp) // chunk)    # compute chunks per band
     rs = 2 * mp + ncch * chunk           # slab rows
     return stride, npix, npk, hp, rp, nbands, nb, mp, ncch, rs
 
 
 def _tap_slots(stride: int, g2: int):
-    """(row_offset, use_odd_slab) per tap slot, padded to full groups."""
-    slots = []
-    for dr, dc in _TAPS:
-        o = dr * stride + dc
-        if o % 2 == 0:
-            slots.append((o // 2, False))
-        else:
-            slots.append(((o - 1) // 2, True))
+    """Row offset per tap slot, padded to full g2 groups."""
+    slots = [dr * stride + dc for dr, dc in _TAPS]
     while len(slots) % g2:
-        slots.append((0, False))         # zero-weight padding slot
+        slots.append(0)                  # zero-weight padding slot
     return slots
 
 
@@ -116,7 +116,7 @@ def pack_resblock_weights(convs: Sequence[Tuple[np.ndarray, np.ndarray]],
 
 
 def _trunk_kernel(x_hbm, w_ref, b_ref, co_ref, out_hbm, slab_x, slab_t,
-                  slab_sh, sem_in, sem_out, *, n_blocks, relu_only, H, W,
+                  sem_in, sem_out, *, n_blocks, relu_only, H, W,
                   stride, npix, hp, rp, nbands, mp, ncch, chunk, g2, slots,
                   res_scale, w_glob, dtype):
     """One (batch, band) grid step: DMA band+halo in, run the conv group
@@ -156,25 +156,24 @@ def _trunk_kernel(x_hbm, w_ref, b_ref, co_ref, out_hbm, slab_x, slab_t,
             (rs - mp - ncch * chunk, 128), dtype)
         cp.wait()
 
-        def build_sh(src):
-            # odd-aligned packing: sh[r] = (src[r] lanes 64:, src[r+1]
-            # lanes :64) = pixels (2r+1, 2r+2)
-            slab_sh[0:rs - 8, :] = jnp.concatenate(
-                [src[0:rs - 8, 64:128], src[1:rs - 7, 0:64]], axis=1)
-            slab_sh[rs - 8:rs, :] = jnp.zeros((8, 128), dtype)
-
         def conv(src, dst, widx, relu, skip):
-            build_sh(src)
-
             def chunk_body(c, _):
                 base = mp + c * chunk
                 acc = jnp.zeros((chunk, 128), jnp.float32)
                 for gi in range(g2_groups):
                     parts = []
                     for sj in range(g2):
-                        ro, odd = slots[gi * g2 + sj]
-                        ref = slab_sh if odd else src
-                        parts.append(ref[pl.ds(base + ro, chunk), :])
+                        ro = slots[gi * g2 + sj]
+                        # Mosaic requires 8-aligned vector.load offsets:
+                        # load an aligned window, slice the remainder
+                        # statically (supported on values)
+                        ro8 = (ro // 8) * 8
+                        rem = ro - ro8
+                        if rem == 0:
+                            parts.append(src[pl.ds(base + ro8, chunk), :])
+                        else:
+                            win = src[pl.ds(base + ro8, chunk + 8), :]
+                            parts.append(win[rem:rem + chunk, :])
                     a = parts[0] if g2 == 1 else jnp.concatenate(parts,
                                                                  axis=1)
                     wk = w_ref[widx, gi, :, :]
@@ -185,12 +184,17 @@ def _trunk_kernel(x_hbm, w_ref, b_ref, co_ref, out_hbm, slab_x, slab_t,
                 if relu:
                     acc = jnp.maximum(acc, 0.0)
                 # position mask: realizes 'SAME' zero padding + kills
-                # halo wrap-garbage (see module docstring)
+                # halo wrap-garbage (see module docstring).  Packed row
+                # r = pixel r (lanes 0:64) and pixel r + npix/2 (64:128).
                 rr = (i - 1) * rp - hp + c * chunk
                 sub = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 0)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 128), 1)
-                p = 2 * (rr + sub) + (lane >= 64).astype(jnp.int32)
-                ok = jnp.logical_and(p >= 0, p < npix)
+                r_pk = rr + sub
+                p = r_pk + (lane >= 64).astype(jnp.int32) * (npix // 2)
+                # packed-row bound: rows >= npix/2 are band padding, NOT
+                # pixels (p < npix alone would alias them onto the
+                # first half)
+                ok = jnp.logical_and(r_pk >= 0, r_pk < npix // 2)
                 ps = jnp.maximum(p, 0)
                 row = jnp.floor(ps.astype(jnp.float32) *
                                 jnp.float32(1.0) / jnp.float32(stride)
@@ -279,7 +283,6 @@ def _trunk_call(xp, w, bvec, col_off, n_blocks: int, relu_only: bool,
         scratch_shapes=[
             pltpu.VMEM((rs, 128), dtype),   # slab_x
             pltpu.VMEM((rs, 128), dtype),   # slab_t
-            pltpu.VMEM((rs, 128), dtype),   # slab_sh
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -289,13 +292,16 @@ def _trunk_call(xp, w, bvec, col_off, n_blocks: int, relu_only: bool,
 
 
 def pack_flat(x, H: int, W: int, band: int, n_convs: int, chunk: int):
-    """[B, H, W, 64] -> packed flat [B, NT, 128] (zero borders + bands)."""
+    """[B, H, W, 64] -> half-split flat [B, NT, 128]: packed row r holds
+    pixel r (lanes 0:64) and pixel r + npix/2 (lanes 64:128) of the
+    zero-bordered flattened image, plus leading/trailing zero bands."""
     stride, npix, npk, hp, rp, nbands, nb, _, _, _ = _geometry(
         H, W, n_convs, band, chunk)
     del hp
     b = x.shape[0]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, stride - W - 1), (0, 0)))
-    xp = xp.reshape(b, npix // 2, 128)
+    flat = jnp.pad(x, ((0, 0), (1, 1), (1, stride - W - 1), (0, 0)))
+    flat = flat.reshape(b, npix, 64)
+    xp = jnp.concatenate([flat[:, :npk, :], flat[:, npk:, :]], axis=-1)
     nt = nb * rp
     return jnp.pad(xp, ((0, 0), (rp, nt - rp - npk), (0, 0)))
 
@@ -305,7 +311,9 @@ def unpack_flat(xp, H: int, W: int, band: int, n_convs: int, chunk: int):
     stride, npix, npk, _, rp, _, _, _, _, _ = _geometry(
         H, W, n_convs, band, chunk)
     b = xp.shape[0]
-    flat = xp[:, rp:rp + npk, :].reshape(b, H + 2, stride, 64)
+    body = xp[:, rp:rp + npk, :]
+    flat = jnp.concatenate([body[..., :64], body[..., 64:]], axis=1)
+    flat = flat.reshape(b, H + 2, stride, 64)
     return flat[:, 1:H + 1, 1:W + 1, :]
 
 
